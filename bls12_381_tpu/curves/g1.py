@@ -1,0 +1,221 @@
+"""Batched G1: E(Fp): y^2 = x^3 + 4 (reference src/g1.rs).
+
+Points are pytrees of Fp limb tensors: projective (x, y, z), affine
+(x, y, inf_mask).  Serialization is host-side numpy (48/96-byte, 3 flag
+bits — reference notes/serialization.rs).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hostmath as hm
+from .. import params
+from ..fields import fp, fr
+from ..limbs import FR
+from .weierstrass import FieldFns, Weierstrass
+
+def _mul_b3(x):
+    """12*x by additions (3*b with b = 4; the mul_by_3b trick, g1.rs:596)."""
+    x2 = fp.add(x, x)
+    x4 = fp.add(x2, x2)
+    x8 = fp.add(x4, x4)
+    return fp.add(x8, x4)
+
+
+_FNS = FieldFns(
+    add=fp.add,
+    sub=fp.sub,
+    neg=fp.neg,
+    mul=fp.mul,
+    sqr=fp.sqr,
+    mul_many=fp.mul_many,
+    mul_b3=_mul_b3,
+    select=fp.select,
+    eq=fp.eq,
+    is_zero=fp.is_zero,
+    zero=fp.zero,
+    one=fp.one,
+    b=lambda batch: fp.const(params.B_G1, batch),
+    batch_of=lambda x: x.shape[1:],
+)
+
+CURVE = Weierstrass(_FNS)
+
+identity = CURVE.identity
+from_affine = CURVE.from_affine
+is_identity = CURVE.is_identity
+is_on_curve = CURVE.is_on_curve
+eq = CURVE.eq
+neg = CURVE.neg
+double = CURVE.double
+add = CURVE.add
+add_mixed = CURVE.add_mixed
+
+# endomorphism constant: cube root of unity with phi(P) = -[z^2]P (g1.rs:421)
+BETA = hm._compute_beta()
+
+
+def generator(batch=()):
+    gx, gy = params.G1_GEN
+    return (fp.const(gx, batch), fp.const(gy, batch), fp.one(batch))
+
+
+def generator_affine(batch=()):
+    gx, gy = params.G1_GEN
+    return (
+        fp.const(gx, batch),
+        fp.const(gy, batch),
+        jnp.zeros(batch, dtype=bool),
+    )
+
+
+def scalar_mul(p, scalars_mont):
+    """[s]P for a batch of Montgomery-form Fr scalars — 4-bit fixed-window
+    schedule (the batched analog of g1.rs:754-774 with the wNAF-style window
+    sizing of g1.rs:989-1005)."""
+    return CURVE.scalar_mul_windowed(p, fr_digits4_msb(scalars_mont))
+
+
+def fr_bits_msb(scalars_mont):
+    """Montgomery Fr [16, *batch] -> [255, *batch] bool bits, MSB first."""
+    from .. import limbs
+
+    canon = limbs.from_mont(FR, scalars_mont)
+    rows = []
+    for j in range(254, -1, -1):
+        rows.append(((canon[j // 16] >> (j % 16)) & 1) != 0)
+    return jnp.stack(rows)
+
+
+def fr_digits4_msb(scalars_mont):
+    """Montgomery Fr [16, *batch] -> [64, *batch] int32 4-bit digits, MSB
+    first (each 16-bit limb holds four aligned digits)."""
+    from .. import limbs
+
+    canon = limbs.from_mont(FR, scalars_mont)
+    rows = []
+    for d in range(63, -1, -1):
+        rows.append(((canon[d // 4] >> (4 * (d % 4))) & 15).astype(jnp.int32))
+    return jnp.stack(rows)
+
+
+def mul_by_x(p):
+    """[|z|]P with the fixed public BLS parameter schedule (g1.rs:777-795
+    semantics, sign handled by callers)."""
+    return CURVE.mul_by_const(p, params.BLS_X)
+
+
+def clear_cofactor(p):
+    """[1 - z]P = [1 + |z|]P (ia.cr/2019/403; g1.rs:800-802)."""
+    return CURVE.mul_by_const(p, params.H_EFF_G1)
+
+
+def is_torsion_free(p):
+    """phi(P) == -[z^2]P with phi(x:y:z) = (beta x : y : z)
+    (ePrint 2021/1130 §6; g1.rs:401-410)."""
+    batch = p[0].shape[1:]
+    beta = fp.const(BETA, batch)
+    phi = (fp.mul(beta, p[0]), p[1], p[2])
+    zsq = CURVE.mul_by_const(CURVE.mul_by_const(p, params.BLS_X), params.BLS_X)
+    return CURVE.eq(phi, CURVE.neg(zsq))
+
+
+def to_affine(p):
+    return CURVE.to_affine(p, fp.inv)
+
+
+batch_normalize = to_affine  # one name per reference (g1.rs:806-839)
+
+
+# ---------------------------------------------------------------------------
+# Serialization (host-side; bit-exact vs notes/serialization.rs)
+# ---------------------------------------------------------------------------
+
+
+def to_compressed_host(aff) -> np.ndarray:
+    """Affine batch -> uint8[*batch, 48]."""
+    x, y, inf = aff
+    inf_np = np.asarray(inf)
+    batch = inf_np.shape
+    xbytes = fp.to_bytes_host(fp.select(jnp.asarray(inf_np), fp.zero(batch), x))
+    sort = np.asarray(fp.lexicographically_largest(y)) & ~inf_np
+    out = xbytes.copy()
+    out[..., 0] |= 0b1000_0000
+    out[..., 0] |= np.where(inf_np, 0b0100_0000, 0).astype(np.uint8)
+    out[..., 0] |= np.where(sort, 0b0010_0000, 0).astype(np.uint8)
+    return out
+
+
+def to_uncompressed_host(aff) -> np.ndarray:
+    x, y, inf = aff
+    inf_np = np.asarray(inf)
+    batch = inf_np.shape
+    m = jnp.asarray(inf_np)
+    xb = fp.to_bytes_host(fp.select(m, fp.zero(batch), x))
+    yb = fp.to_bytes_host(fp.select(m, fp.zero(batch), y))
+    out = np.concatenate([xb, yb], axis=-1)
+    out[..., 0] |= np.where(inf_np, 0b0100_0000, 0).astype(np.uint8)
+    return out
+
+
+def from_compressed_host(data: np.ndarray, check_subgroup: bool = True):
+    """uint8[*batch, 48] -> (affine point batch, valid mask).
+
+    Invalid entries are masked (valid=False) rather than raised — the batched
+    analog of the reference's CtOption (g1.rs:326-390).
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    comp = (data[..., 0] >> 7) & 1
+    inf = ((data[..., 0] >> 6) & 1).astype(bool)
+    sort = ((data[..., 0] >> 5) & 1).astype(bool)
+    body = data.copy()
+    body[..., 0] &= 0b0001_1111
+    x, x_ok = fp.from_bytes_host(body)
+    batch = inf.shape
+    # y^2 = x^3 + 4
+    rhs = fp.add(fp.mul(fp.sqr(x), x), fp.const(params.B_G1, batch))
+    y, on_curve = fp.sqrt(rhs)
+    flip = np.asarray(fp.lexicographically_largest(y)) != sort
+    y = fp.select(jnp.asarray(flip), fp.neg(y), y)
+    x_is_zero = np.asarray(fp.is_zero(x))
+    valid = (comp == 1) & x_ok
+    # infinity: x must be 0, sort must be clear
+    valid &= ~inf | (x_is_zero & ~sort)
+    valid &= inf | np.asarray(on_curve)
+    aff = (
+        fp.select(jnp.asarray(inf), fp.zero(batch), x),
+        fp.select(jnp.asarray(inf), fp.one(batch), y),
+        jnp.asarray(inf),
+    )
+    if check_subgroup:
+        tf = np.asarray(is_torsion_free(from_affine(aff)))
+        valid &= tf | inf
+    return aff, valid
+
+
+def from_uncompressed_host(data: np.ndarray, check: bool = True):
+    data = np.asarray(data, dtype=np.uint8)
+    comp = (data[..., 0] >> 7) & 1
+    inf = ((data[..., 0] >> 6) & 1).astype(bool)
+    sort = ((data[..., 0] >> 5) & 1).astype(bool)
+    body = data[..., :48].copy()
+    body[..., 0] &= 0b0001_1111
+    x, x_ok = fp.from_bytes_host(body)
+    y, y_ok = fp.from_bytes_host(data[..., 48:96])
+    batch = inf.shape
+    valid = (comp == 0) & ~sort & x_ok & y_ok
+    zeros = np.asarray(fp.is_zero(x)) & np.asarray(fp.is_zero(y))
+    valid &= ~inf | zeros
+    aff = (
+        fp.select(jnp.asarray(inf), fp.zero(batch), x),
+        fp.select(jnp.asarray(inf), fp.one(batch), y),
+        jnp.asarray(inf),
+    )
+    if check:
+        proj = from_affine(aff)
+        valid &= np.asarray(is_on_curve(proj)) & (
+            np.asarray(is_torsion_free(proj)) | inf
+        )
+    return aff, valid

@@ -1,0 +1,230 @@
+"""Batched G2: E'(Fp2): y^2 = x^3 + 4(u+1) (reference src/g2.rs).
+
+Adds the psi (untwist-Frobenius-twist) endomorphism, Budroni-Pintore cofactor
+clearing, and the psi-based subgroup check.  Serialization is 96/192-byte
+with Fp2 written c1 || c0 (g2.rs:254-282).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hostmath as hm
+from .. import params
+from ..fields import fp, tower as tw
+from .weierstrass import FieldFns, Weierstrass
+from . import g1 as _g1
+
+def _mul_b3(x):
+    """12*(u+1)*x by additions (3*b with b = 4(u+1), g2.rs analog)."""
+    t = tw.fp2_mul_by_nonresidue(x)  # (u+1) x
+    t2 = tw.fp2_add(t, t)
+    t4 = tw.fp2_add(t2, t2)
+    t8 = tw.fp2_add(t4, t4)
+    return tw.fp2_add(t8, t4)
+
+
+_FNS = FieldFns(
+    add=tw.fp2_add,
+    sub=tw.fp2_sub,
+    neg=tw.fp2_neg,
+    mul=tw.fp2_mul,
+    sqr=tw.fp2_sqr,
+    mul_many=tw.fp2_mul_many,
+    mul_b3=_mul_b3,
+    select=tw.fp2_select,
+    eq=tw.fp2_eq,
+    is_zero=tw.fp2_is_zero,
+    zero=tw.fp2_zero,
+    one=tw.fp2_one,
+    b=lambda batch: tw.fp2_const(params.B_G2, batch),
+    batch_of=lambda x: x[0].shape[1:],
+)
+
+CURVE = Weierstrass(_FNS)
+
+identity = CURVE.identity
+from_affine = CURVE.from_affine
+is_identity = CURVE.is_identity
+is_on_curve = CURVE.is_on_curve
+eq = CURVE.eq
+neg = CURVE.neg
+double = CURVE.double
+add = CURVE.add
+add_mixed = CURVE.add_mixed
+
+
+def generator(batch=()):
+    (x, y) = params.G2_GEN
+    return (tw.fp2_const(x, batch), tw.fp2_const(y, batch), tw.fp2_one(batch))
+
+
+def generator_affine(batch=()):
+    (x, y) = params.G2_GEN
+    return (
+        tw.fp2_const(x, batch),
+        tw.fp2_const(y, batch),
+        jnp.zeros(batch, dtype=bool),
+    )
+
+
+def scalar_mul(p, scalars_mont):
+    """4-bit fixed-window scalar multiplication (see g1.scalar_mul)."""
+    return CURVE.scalar_mul_windowed(p, _g1.fr_digits4_msb(scalars_mont))
+
+
+def mul_by_x(p):
+    """[|z|]P (g2.rs semantics: sign handled by callers)."""
+    return CURVE.mul_by_const(p, params.BLS_X)
+
+
+def psi(p):
+    """Untwist-Frobenius-twist: (x:y:z) -> (c_x x^p : c_y y^p : z^p)
+    (g2.rs:847-888; constants computed by the host oracle)."""
+    batch = p[0][0].shape[1:]
+    cx = tw.fp2_const(hm.PSI_CX, batch)
+    cy = tw.fp2_const(hm.PSI_CY, batch)
+    return (
+        tw.fp2_mul(tw.fp2_conjugate(p[0]), cx),
+        tw.fp2_mul(tw.fp2_conjugate(p[1]), cy),
+        tw.fp2_conjugate(p[2]),
+    )
+
+
+def psi2(p):
+    return psi(psi(p))
+
+
+def is_torsion_free(p):
+    """psi(P) == [z]P = -[|z|]P (ePrint 2021/1130 §4; g2.rs:475-482)."""
+    return CURVE.eq(psi(p), CURVE.neg(mul_by_x(p)))
+
+
+def clear_cofactor(p):
+    """Budroni-Pintore (ia.cr/2017/419; g2.rs:934-947):
+
+        h(P) = [z^2 - z - 1]P + [z - 1] psi(P) + psi^2(2P)
+
+    with z = -|z|: [u^2]P + [u]P - P - [u]psi(P) - psi(P) + psi^2(2P),
+    u = |z|.  Verified bit-exact against [h_eff]P in tests.
+    """
+    t1 = mul_by_x(p)              # [u]P
+    t2 = mul_by_x(t1)             # [u^2]P
+    psip = psi(p)
+    t3 = mul_by_x(psip)           # [u]psi(P)
+    acc = CURVE.add(t2, t1)
+    acc = CURVE.add(acc, CURVE.neg(p))
+    acc = CURVE.add(acc, CURVE.neg(t3))
+    acc = CURVE.add(acc, CURVE.neg(psip))
+    acc = CURVE.add(acc, psi2(CURVE.double(p)))
+    return acc
+
+
+def to_affine(p):
+    return CURVE.to_affine(p, tw.fp2_inv)
+
+
+batch_normalize = to_affine
+
+
+# ---------------------------------------------------------------------------
+# Serialization (host-side)
+# ---------------------------------------------------------------------------
+
+
+def _fp2_bytes(a, batch) -> np.ndarray:
+    """Fp2 -> 96 bytes: c1 || c0 (g2.rs:254-282)."""
+    return np.concatenate(
+        [fp.to_bytes_host(a[1]), fp.to_bytes_host(a[0])], axis=-1
+    )
+
+
+def to_compressed_host(aff) -> np.ndarray:
+    x, y, inf = aff
+    inf_np = np.asarray(inf)
+    batch = inf_np.shape
+    m = jnp.asarray(inf_np)
+    xb = _fp2_bytes(tw.fp2_select(m, tw.fp2_zero(batch), x), batch)
+    sort = np.asarray(tw.fp2_lexicographically_largest(y)) & ~inf_np
+    out = xb.copy()
+    out[..., 0] |= 0b1000_0000
+    out[..., 0] |= np.where(inf_np, 0b0100_0000, 0).astype(np.uint8)
+    out[..., 0] |= np.where(sort, 0b0010_0000, 0).astype(np.uint8)
+    return out
+
+
+def to_uncompressed_host(aff) -> np.ndarray:
+    x, y, inf = aff
+    inf_np = np.asarray(inf)
+    batch = inf_np.shape
+    m = jnp.asarray(inf_np)
+    xb = _fp2_bytes(tw.fp2_select(m, tw.fp2_zero(batch), x), batch)
+    yb = _fp2_bytes(tw.fp2_select(m, tw.fp2_zero(batch), y), batch)
+    out = np.concatenate([xb, yb], axis=-1)
+    out[..., 0] |= np.where(inf_np, 0b0100_0000, 0).astype(np.uint8)
+    return out
+
+
+def _fp2_from_bytes(data):
+    c1, ok1 = fp.from_bytes_host(data[..., :48])
+    c0, ok0 = fp.from_bytes_host(data[..., 48:96])
+    return (c0, c1), ok0 & ok1
+
+
+def from_compressed_host(data: np.ndarray, check_subgroup: bool = True):
+    data = np.asarray(data, dtype=np.uint8)
+    comp = (data[..., 0] >> 7) & 1
+    inf = ((data[..., 0] >> 6) & 1).astype(bool)
+    sort = ((data[..., 0] >> 5) & 1).astype(bool)
+    body = data.copy()
+    body[..., 0] &= 0b0001_1111
+    x, x_ok = _fp2_from_bytes(body[..., :96])
+    batch = inf.shape
+    rhs = tw.fp2_add(
+        tw.fp2_mul(tw.fp2_sqr(x), x), tw.fp2_const(params.B_G2, batch)
+    )
+    y, on_curve = tw.fp2_sqrt(rhs)
+    flip = np.asarray(tw.fp2_lexicographically_largest(y)) != sort
+    y = tw.fp2_select(jnp.asarray(flip), tw.fp2_neg(y), y)
+    x_is_zero = np.asarray(tw.fp2_is_zero(x))
+    valid = (comp == 1) & x_ok
+    valid &= ~inf | (x_is_zero & ~sort)
+    valid &= inf | np.asarray(on_curve)
+    m = jnp.asarray(inf)
+    aff = (
+        tw.fp2_select(m, tw.fp2_zero(batch), x),
+        tw.fp2_select(m, tw.fp2_one(batch), y),
+        m,
+    )
+    if check_subgroup:
+        tf = np.asarray(is_torsion_free(from_affine(aff)))
+        valid &= tf | inf
+    return aff, valid
+
+
+def from_uncompressed_host(data: np.ndarray, check: bool = True):
+    data = np.asarray(data, dtype=np.uint8)
+    comp = (data[..., 0] >> 7) & 1
+    inf = ((data[..., 0] >> 6) & 1).astype(bool)
+    sort = ((data[..., 0] >> 5) & 1).astype(bool)
+    body = data[..., :96].copy()
+    body[..., 0] &= 0b0001_1111
+    x, x_ok = _fp2_from_bytes(body)
+    y, y_ok = _fp2_from_bytes(data[..., 96:192])
+    batch = inf.shape
+    valid = (comp == 0) & ~sort & x_ok & y_ok
+    zeros = np.asarray(tw.fp2_is_zero(x)) & np.asarray(tw.fp2_is_zero(y))
+    valid &= ~inf | zeros
+    m = jnp.asarray(inf)
+    aff = (
+        tw.fp2_select(m, tw.fp2_zero(batch), x),
+        tw.fp2_select(m, tw.fp2_one(batch), y),
+        m,
+    )
+    if check:
+        proj = from_affine(aff)
+        valid &= np.asarray(is_on_curve(proj)) & (
+            np.asarray(is_torsion_free(proj)) | inf
+        )
+    return aff, valid

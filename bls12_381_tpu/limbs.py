@@ -1,0 +1,505 @@
+"""Batched multi-limb modular arithmetic over 16-bit limbs in uint32 lanes.
+
+This is the TPU-native replacement for the reference's u64 carry-chain layer
+(reference: src/util.rs adc/sbb/mac + src/fp.rs / src/scalar.rs Montgomery
+arithmetic).  Design:
+
+  - A field element batch is a uint32 tensor of shape [L, *batch] — limbs on
+    axis 0 (little-endian, 16 bits per limb), batch dimensions trailing so
+    the batch maps onto TPU lanes.
+  - Montgomery form with R = 2^(16*L): identical numeric domain to the
+    reference (R = 2^384 for Fp, fp.rs:13; 2^256 for Scalar, scalar.rs:20),
+    so device-internal values are bit-identical to the reference's.
+  - 16-bit limbs make every partial product fit a uint32 exactly
+    (max (2^16-1)^2 < 2^32), and let whole product columns accumulate
+    without carries: a column absorbs <= 2L terms per operand pair, so a
+    T-term fused sum-of-products stays < 2^32 for T <= ~1000.  Carries are
+    propagated once per Montgomery reduction round (lazy/deferred carry
+    discipline) — the TPU analog of the reference's `sum_of_products`
+    interleaved reduction (fp.rs:430-484, ePrint 2022/367).
+  - All stored values are canonical (< p), matching the reference invariant,
+    so equality is limbwise comparison and byte codecs are direct.
+
+Everything here is pure jax.numpy over static shapes — jittable, vmappable,
+shardable.  The Pallas kernels in bls12_381_tpu/kernels fuse the same
+algorithms into single-VMEM-pass kernels for the hot paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import params
+
+LIMB_BITS = params.LIMB_BITS
+MASK = np.uint32(params.LIMB_MASK)
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    """Static description of a prime field in limb form."""
+
+    name: str
+    modulus: int
+    n_limbs: int
+    inv16: int                 # -p^-1 mod 2^16
+    p_limbs: np.ndarray        # [L] uint32
+    p2_limbs: np.ndarray       # [L+1] uint32, 2*p (for lazy bounds checks)
+    r2_limbs: np.ndarray       # [L] uint32, R^2 mod p (Montgomery conversion)
+    one_mont: np.ndarray       # [L] uint32, R mod p (Montgomery one)
+
+    @staticmethod
+    def make(name: str, modulus: int, n_limbs: int) -> "FieldSpec":
+        r = 1 << (LIMB_BITS * n_limbs)
+
+        def limbs(v, n=n_limbs):
+            return np.array(params.to_limbs(v, n), dtype=np.uint32)
+
+        return FieldSpec(
+            name=name,
+            modulus=modulus,
+            n_limbs=n_limbs,
+            inv16=(-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS),
+            p_limbs=limbs(modulus),
+            p2_limbs=limbs(2 * modulus, n_limbs + 1),
+            r2_limbs=limbs(r * r % modulus),
+            one_mont=limbs(r % modulus),
+        )
+
+
+FP = FieldSpec.make("fp", params.P, params.FP_LIMBS)
+FR = FieldSpec.make("fr", params.Q, params.FR_LIMBS)
+
+
+def _bcast(const: np.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a [L] constant against [L, *batch]."""
+    return jnp.asarray(const).reshape(const.shape + (1,) * (a.ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Carry propagation and canonical reduction
+# ---------------------------------------------------------------------------
+
+
+def _kogge_stone(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Carry-lookahead: given per-limb generate/propagate bools [K, *batch],
+    return the carry OUT of each position (log-depth associative scan instead
+    of a K-step ripple — the compile-size lever for every add/sub)."""
+
+    def op(lower, upper):
+        lg, lp = lower
+        ug, up = upper
+        return (ug | (up & lg), lp & up)
+
+    out_g, _ = jax.lax.associative_scan(op, (g, p), axis=0)
+    return out_g
+
+
+def _carry_prop_1bit(s: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Normalize limbwise sums s ([K, *batch], values < 2^17 + 2^6) into n_out
+    clean 16-bit limbs via one split + carry-lookahead."""
+    lo = s & MASK
+    hi = s >> LIMB_BITS  # in {0, 1} after the caller's pre-split
+    g = hi != 0
+    p = lo == MASK
+    carry_out = _kogge_stone(g, p)
+    cin = jnp.concatenate([jnp.zeros_like(carry_out[:1]), carry_out[:-1]])
+    out = (lo + cin.astype(jnp.uint32)) & MASK
+    cols = [out]
+    if n_out > s.shape[0]:
+        top = carry_out[-1].astype(jnp.uint32)[None]
+        cols.append(top)
+        if n_out > s.shape[0] + 1:
+            cols.append(
+                jnp.zeros((n_out - s.shape[0] - 1,) + s.shape[1:], jnp.uint32)
+            )
+    return jnp.concatenate(cols)[:n_out]
+
+
+def _pad_rows(arr: jnp.ndarray, width: int) -> jnp.ndarray:
+    if arr.shape[0] >= width:
+        return arr[:width]
+    pad = jnp.zeros((width - arr.shape[0],) + arr.shape[1:], jnp.uint32)
+    return jnp.concatenate([arr, pad])
+
+
+def _carry_prop(t: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Propagate carries over lazy columns (values < 2^26) producing n_out
+    clean 16-bit limbs: one multi-bit shift-add pass reduces to the 1-bit
+    case, then carry-lookahead finishes."""
+    lo = t & MASK
+    c = t >> LIMB_BITS  # multi-bit carries (< 2^10 by column bounds)
+    shifted = jnp.concatenate([jnp.zeros_like(c[:1]), c])  # [K+1, *batch]
+    width = max(t.shape[0] + 1, n_out)
+    s = _pad_rows(lo, width) + _pad_rows(shifted, width)
+    # s values < 2^16 + 2^10: 1-bit carries from here
+    return _carry_prop_1bit(s, n_out)
+
+
+def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray, n: int):
+    """a - b via borrow-lookahead; returns (diff [n,*batch], borrow [*batch]).
+
+    a and b are limb tensors (broadcastable shapes, first axis >= n).
+    """
+    a = a[:n]
+    b = jnp.broadcast_to(b[:n], jnp.broadcast_shapes(a.shape, b[:n].shape))
+    a = jnp.broadcast_to(a, b.shape)
+    g = a < b
+    p = a == b
+    borrow_out = _kogge_stone(g, p)
+    bin_ = jnp.concatenate([jnp.zeros_like(borrow_out[:1]), borrow_out[:-1]])
+    diff = (a - b - bin_.astype(jnp.uint32)) & MASK
+    return diff, borrow_out[-1].astype(jnp.uint32)
+
+
+def _cond_sub_p(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
+    """Conditionally subtract p: returns (t - p if t >= p else t) as L limbs.
+
+    t: [L or L+1, *batch] clean 16-bit limbs, value < 2p (so any carry limb
+    is folded by the subtraction when present).
+    """
+    L = spec.n_limbs
+    n_in = t.shape[0]
+    p_ext = np.zeros(n_in, dtype=np.uint32)
+    p_ext[:L] = spec.p_limbs
+    diff, borrow = _sub_limbs(t, _bcast(p_ext, t), n_in)
+    take_diff = borrow == 0
+    return jnp.where(take_diff[None], diff[:L], t[:L])
+
+
+# ---------------------------------------------------------------------------
+# Add / sub / neg (reference semantics: fp.rs:361-427)
+# ---------------------------------------------------------------------------
+
+
+def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # value < 2p < 2^(16L+1); the L+1-limb conditional subtraction folds the
+    # carry limb
+    t = _carry_prop_1bit(a + b, spec.n_limbs + 1)
+    return _cond_sub_p(spec, t)
+
+
+def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    diff, borrow = _sub_limbs(a, b, spec.n_limbs)
+    # if borrowed, add p back (result computed mod 2^(16 L))
+    p = _bcast(spec.p_limbs, diff)
+    fixed = _carry_prop_1bit(
+        diff + jnp.where(borrow[None] != 0, p, jnp.uint32(0)), spec.n_limbs
+    )
+    return fixed
+
+
+def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    p = _bcast(spec.p_limbs, a)
+    diff, _ = _sub_limbs(jnp.broadcast_to(p, a.shape), a, spec.n_limbs)
+    # p - 0 = p must map back to 0: mask by a != 0
+    return jnp.where(~is_zero(a)[None], diff, jnp.zeros_like(a))
+
+
+def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return add(spec, a, a)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiplication (the hot path)
+# ---------------------------------------------------------------------------
+
+
+def _product_columns(a: jnp.ndarray, b: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Schoolbook product of two [L,*batch] limb tensors as 2L+1 lazy columns.
+
+    Column k accumulates lo16(a_i*b_j) for i+j=k and hi16 for i+j=k-1 — no
+    carries yet (each column stays far below 2^32, see module docstring).
+    Implemented as one outer product + two anti-diagonal segment-sums so the
+    traced graph is a handful of ops instead of O(L^2).
+    """
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    prod = a[:, None] * b[None, :]  # [L, L, *batch], exact (inputs < 2^16)
+    flat = prod.reshape((L * L,) + batch)
+    lo = flat & MASK
+    hi = flat >> LIMB_BITS
+    ids = (np.arange(L)[:, None] + np.arange(L)[None, :]).reshape(-1)
+    cols = jax.ops.segment_sum(lo, ids, num_segments=2 * L + 1)
+    cols = cols + jax.ops.segment_sum(hi, ids + 1, num_segments=2 * L + 1)
+    return cols
+
+
+def _mont_reduce(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery reduction of [2L+1,*batch] lazy columns -> canonical limbs.
+
+    Per round k: m = t_k * inv16 mod 2^16; add m*p into columns k..k+L;
+    propagate t_k's carry into t_{k+1}.  (The 16-bit-digit analog of the
+    reference's montgomery_reduce, fp.rs:487-562.)
+    """
+    L = spec.n_limbs
+    inv16 = jnp.uint32(spec.inv16)
+    p = jnp.asarray(spec.p_limbs).reshape((L,) + (1,) * (t.ndim - 1))
+    zero_row = jnp.zeros((1,) + t.shape[1:], dtype=jnp.uint32)
+    for k in range(L):
+        m = (t[k] * inv16) & MASK  # [*batch]
+        mp = m[None] * p  # [L, *batch]
+        lo = mp & MASK
+        hi = mp >> LIMB_BITS
+        add_vec = (
+            jnp.concatenate([lo, zero_row])
+            + jnp.concatenate([zero_row, hi])
+        )  # [L+1, *batch]
+        # after adding lo[0], t_k is divisible by 2^16; forward its carry
+        add_vec = add_vec.at[1].add((t[k] + lo[0]) >> LIMB_BITS)
+        t = t.at[k : k + L + 1].add(add_vec)
+    out = _carry_prop(t[L:], L + 1)
+    return _cond_sub_p(spec, out)
+
+
+def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Canonical Montgomery product aR * bR -> abR mod p."""
+    return sum_of_products(spec, [(a, b)])
+
+
+def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul(spec, a, a)
+
+
+_PALLAS_MODE = None  # None = auto-detect; True/False = forced
+
+
+def set_pallas(enabled: bool | None):
+    """Force (or re-enable auto-detection of) the Pallas kernel path."""
+    global _PALLAS_MODE
+    _PALLAS_MODE = enabled
+
+
+def _use_pallas() -> bool:
+    if _PALLAS_MODE is not None:
+        return _PALLAS_MODE
+    import os
+
+    if os.environ.get("BLS12_381_TPU_NO_PALLAS"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def _sop_via_pallas(spec: FieldSpec, pairs) -> jnp.ndarray:
+    from .kernels import pallas_mont  # local import: optional dependency path
+
+    batch = jnp.broadcast_shapes(*[x.shape[1:] for p in pairs for x in p])
+    L = spec.n_limbs
+    full = (L,) + batch
+    a_stack = jnp.stack([jnp.broadcast_to(a, full) for a, _ in pairs])
+    b_stack = jnp.stack([jnp.broadcast_to(b, full) for _, b in pairs])
+    flat = int(np.prod(batch)) if batch else 1
+    out = pallas_mont.sop_pallas(
+        a_stack.reshape(len(pairs), L, flat),
+        b_stack.reshape(len(pairs), L, flat),
+        n_limbs=L,
+        inv16=spec.inv16,
+        p_limbs=tuple(int(x) for x in spec.p_limbs),
+    )
+    return out.reshape(full)
+
+
+def sum_of_products(spec: FieldSpec, pairs) -> jnp.ndarray:
+    """Fused sum_i a_i * b_i with a single Montgomery reduction.
+
+    The TPU analog of the reference's Fp::sum_of_products (fp.rs:430-484):
+    one reduction amortized over T products.  Requires T <= 8 so the
+    pre-reduction value stays < 2p (T * p^2 / R + p < 2p for p < R/8).
+
+    Routes to the fused Pallas kernel on TPU backends; the pure-jnp path is
+    the bit-exact fallback (and the CPU test path).
+    """
+    assert len(pairs) <= 8, "sum_of_products bound requires T <= 8"
+    if _use_pallas():
+        return _sop_via_pallas(spec, pairs)
+    L = spec.n_limbs
+    cols = _product_columns(pairs[0][0], pairs[0][1], L)
+    for a, b in pairs[1:]:
+        cols = cols + _product_columns(a, b, L)
+    return _mont_reduce(spec, cols)
+
+
+def sop_fold(spec: FieldSpec, groups):
+    """Many independent sum-of-products, folded into ONE batched reduction.
+
+    groups: list of G groups, each a list of (a, b) operand pairs (uneven
+    lengths allowed — shorter groups are zero-padded).  All operands must
+    share a common batch shape.  Returns a list of G results.
+
+    This is the key batching lever for the jnp path: G independent field
+    multiplications become one [L, G, *batch] tensor pipeline — G times
+    fewer traced ops, and G times wider VPU lanes.
+    """
+    g = len(groups)
+    if g == 1:
+        return [sum_of_products(spec, groups[0])]
+    t = max(len(grp) for grp in groups)
+    assert t <= 8
+    batch = jnp.broadcast_shapes(
+        *[x.shape[1:] for grp in groups for pair in grp for x in pair]
+    )
+    zero_el = jnp.zeros((spec.n_limbs,) + batch, dtype=jnp.uint32)
+
+    def stacked(term_idx, which):
+        parts = []
+        for grp in groups:
+            if term_idx < len(grp):
+                parts.append(
+                    jnp.broadcast_to(grp[term_idx][which],
+                                     (spec.n_limbs,) + batch)
+                )
+            else:
+                parts.append(zero_el)
+        return jnp.stack(parts, axis=1)  # [L, G, *batch]
+
+    pairs = [(stacked(i, 0), stacked(i, 1)) for i in range(t)]
+    out = sum_of_products(spec, pairs)  # [L, G, *batch]
+    return [out[:, i] for i in range(g)]
+
+
+def mul_many(spec: FieldSpec, pairs):
+    """Independent products a_i * b_i folded into one batched reduction."""
+    return sop_fold(spec, [[p] for p in pairs])
+
+
+# ---------------------------------------------------------------------------
+# Predicates / selection
+# ---------------------------------------------------------------------------
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mask ? a : b, with mask of shape [*batch]."""
+    return jnp.where(mask[None], a, b)
+
+
+def gt_half(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """a > (p-1)/2, i.e. `lexicographically_largest` (fp.rs:273): computed as
+    no-borrow on a - ((p+1)/2)."""
+    half = np.array(params.to_limbs((spec.modulus + 1) // 2, spec.n_limbs),
+                    dtype=np.uint32)
+    _, borrow = _sub_limbs(a, _bcast(half, a), spec.n_limbs)
+    return borrow == 0
+
+
+def sgn0(a: jnp.ndarray) -> jnp.ndarray:
+    """Parity of the canonical value (draft-16 sgn0 for m=1)."""
+    return a[0] & jnp.uint32(1)
+
+
+# ---------------------------------------------------------------------------
+# Exponentiation (fixed public exponents; schedule is trace-time)
+# ---------------------------------------------------------------------------
+
+
+def pow_fixed(spec: FieldSpec, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """a^exponent via an MSB-first scanned square-and-multiply.
+
+    The exponent is a static Python int (public, like the reference's
+    pow_vartime schedules) so the bit schedule is a compile-time constant.
+    The schedule is zero-padded to the field's bit width so every pow of the
+    same field shares one compiled scan body (compile-time dedup).
+    """
+    if exponent == 0:
+        return jnp.broadcast_to(_bcast(spec.one_mont, a), a.shape)
+    width = max(exponent.bit_length(), spec.modulus.bit_length())
+    bits = np.array(
+        [(exponent >> (width - 1 - i)) & 1 for i in range(width)],
+        dtype=np.bool_,
+    )
+
+    def step(acc, bit):
+        acc = mont_mul(spec, acc, acc)
+        acc = select(jnp.broadcast_to(bit, acc.shape[1:]),
+                     mont_mul(spec, acc, a), acc)
+        return acc, None
+
+    one = jnp.broadcast_to(_bcast(spec.one_mont, a), a.shape)
+    acc, _ = jax.lax.scan(step, one, jnp.asarray(bits))
+    return acc
+
+
+def inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """a^(p-2); maps 0 -> 0 (callers mask identity cases like the reference's
+    CtOption plumbing)."""
+    return pow_fixed(spec, a, spec.modulus - 2)
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device codecs
+# ---------------------------------------------------------------------------
+
+
+def from_ints(spec: FieldSpec, values, to_mont: bool = True) -> jnp.ndarray:
+    """Encode python ints -> [L, *batch] uint32 (Montgomery form by default)."""
+    arr = np.asarray(values, dtype=object)
+    flat = arr.reshape(-1)
+    r = 1 << (LIMB_BITS * spec.n_limbs)
+    out = np.zeros((spec.n_limbs, flat.size), dtype=np.uint32)
+    for idx, v in enumerate(flat):
+        v = int(v) % spec.modulus
+        if to_mont:
+            v = v * r % spec.modulus
+        out[:, idx] = params.to_limbs(v, spec.n_limbs)
+    return jnp.asarray(out.reshape((spec.n_limbs,) + arr.shape))
+
+
+def to_ints(spec: FieldSpec, a, from_mont: bool = True):
+    """Decode [L, *batch] uint32 -> numpy object array of python ints."""
+    arr = np.asarray(jax.device_get(a))
+    batch_shape = arr.shape[1:]
+    flat = arr.reshape(spec.n_limbs, -1)
+    r_inv = pow(1 << (LIMB_BITS * spec.n_limbs), -1, spec.modulus)
+    out = np.empty(flat.shape[1], dtype=object)
+    for idx in range(flat.shape[1]):
+        v = params.from_limbs(flat[:, idx])
+        if from_mont:
+            v = v * r_inv % spec.modulus
+        out[idx] = v
+    return out.reshape(batch_shape) if batch_shape else out[0]
+
+
+def const(spec: FieldSpec, value: int, batch_shape=()) -> jnp.ndarray:
+    """Montgomery-encode a scalar constant, broadcast over a batch shape."""
+    r = 1 << (LIMB_BITS * spec.n_limbs)
+    v = int(value) % spec.modulus * r % spec.modulus
+    limbs = np.array(params.to_limbs(v, spec.n_limbs), dtype=np.uint32)
+    return jnp.broadcast_to(
+        jnp.asarray(limbs).reshape((spec.n_limbs,) + (1,) * len(batch_shape)),
+        (spec.n_limbs,) + tuple(batch_shape),
+    )
+
+
+def zero(spec: FieldSpec, batch_shape=()) -> jnp.ndarray:
+    return jnp.zeros((spec.n_limbs,) + tuple(batch_shape), dtype=jnp.uint32)
+
+
+def one(spec: FieldSpec, batch_shape=()) -> jnp.ndarray:
+    return const(spec, 1, batch_shape)
+
+
+def to_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Canonical residue -> Montgomery form (multiply by R^2)."""
+    return mont_mul(spec, a, _bcast(spec.r2_limbs, a))
+
+
+def from_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery form -> canonical residue (reduce against 1)."""
+    L = spec.n_limbs
+    pad = jnp.zeros((L + 1,) + a.shape[1:], dtype=jnp.uint32)
+    return _mont_reduce(spec, jnp.concatenate([a, pad]))

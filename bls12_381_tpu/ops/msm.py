@@ -1,0 +1,168 @@
+"""Batched Pippenger multi-scalar multiplication on TPU.
+
+No reference counterpart (the crate's only throughput levers are
+batch_normalize and multi_miller_loop, SURVEY.md §2.4) — this is new
+TPU-first design per the build plan (SURVEY.md §7.2 item 7).
+
+Design: scatter-add is the classically awkward op on TPU, so bucket
+accumulation is reformulated as sort + segmented associative scan:
+
+  per window w (c-bit digits):
+    1. keys  = digit_w(scalar_i)                       [B]
+    2. order = argsort(keys); gather points            (lanes stay dense)
+    3. segmented inclusive scan with the group law     (O(B) work, log depth,
+       complete RCB formulas make masking free)
+    4. segment tails scatter into the bucket array     (unique indices)
+    5. bucket reduction sum_b b * B_b via suffix scan  (2 * 2^c adds)
+  recombine: result = sum_w 2^(c w) S_w                (c doublings/window)
+
+Work: ~(255/c) * (3B + 2^(c+1)) group adds, all batched on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import g1 as G1
+from ..curves import g2 as G2
+from ..fields import fr
+from ..limbs import FR
+
+
+def _digits(scalars_mont, c: int, n_windows: int):
+    """Canonical c-bit digits of Montgomery Fr scalars: [n_windows, B] int32."""
+    from .. import limbs
+
+    canon = limbs.from_mont(FR, scalars_mont)  # [16, B] of 16-bit limbs
+    outs = []
+    for w in range(n_windows):
+        lo_bit = c * w
+        out = jnp.zeros(canon.shape[1:], dtype=jnp.uint32)
+        # assemble digit from the (<=3) limbs it straddles
+        for limb in range(lo_bit // 16, min((lo_bit + c - 1) // 16 + 1, 16)):
+            shift = limb * 16 - lo_bit
+            part = canon[limb].astype(jnp.uint32)
+            if shift >= 0:
+                out = out | (part << shift)
+            else:
+                out = out | (part >> (-shift))
+        outs.append(out & jnp.uint32((1 << c) - 1))
+    return jnp.stack(outs).astype(jnp.int32)
+
+
+def _segmented_scan_add(curve, pts, heads):
+    """Inclusive segmented scan with the group law along the last batch axis.
+
+    pts: projective point pytree with trailing batch axis [B];
+    heads: bool [B], True where a new segment starts.
+
+    The group law operates on [L, b] tensors (limb axis first), but
+    associative_scan needs one common scan axis — so leaves are transposed
+    to batch-major [B, L] around the scan.
+    """
+
+    def to_scan(x):
+        return jnp.moveaxis(x, -1, 0)
+
+    def from_scan(x):
+        return jnp.moveaxis(x, 0, -1)
+
+    def combine(left, right):
+        lp, lh = left
+        rp, rh = right
+        # back to limb-major for the field ops
+        lp_f = jax.tree.map(from_scan, lp)
+        rp_f = jax.tree.map(from_scan, rp)
+        summed = curve.add(lp_f, rp_f)
+        mask = rh  # [b']
+        pt = jax.tree.map(
+            lambda s, r: jnp.where(mask[None], r, s), summed, rp_f
+        )
+        return (jax.tree.map(to_scan, pt), lh | rh)
+
+    pts_t = jax.tree.map(to_scan, pts)
+    out, _ = jax.lax.associative_scan(combine, (pts_t, heads), axis=0)
+    return jax.tree.map(from_scan, out)
+
+
+def _msm_curve(curve_mod, points_proj, scalars_mont, c: int):
+    """Single-device Pippenger over one curve module (g1 or g2)."""
+    curve = curve_mod.CURVE
+    n_windows = -(-255 // c)
+    n_buckets = 1 << c
+    digits = _digits(scalars_mont, c, n_windows)  # [W, B] int32
+    batch = digits.shape[1:]
+
+    def window_sum(keys):
+        # sort by bucket, gather points
+        order = jnp.argsort(keys)
+        keys_s = keys[order]
+        pts = jax.tree.map(lambda x: x[..., order], points_proj)
+        heads = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), keys_s[1:] != keys_s[:-1]]
+        )
+        scanned = _segmented_scan_add(curve, pts, heads)
+        # segment tails: last element of each run holds the bucket total
+        tails = jnp.concatenate(
+            [keys_s[1:] != keys_s[:-1], jnp.ones((1,), dtype=bool)]
+        )
+        # scatter tails into bucket slots (indices unique among tails)
+        idx = jnp.where(tails, keys_s, n_buckets)  # non-tails -> overflow slot
+        buckets = jax.tree.map(
+            lambda x: jnp.zeros(x.shape[:-1] + (n_buckets + 1,), x.dtype)
+            .at[..., idx]
+            .set(x)[..., :n_buckets],
+            scanned,
+        )
+        # make non-tail slots the identity (z = 0): zeros already encode
+        # (0 : 0 : 0); fix y to keep points well-formed is unnecessary for
+        # complete formulas with z=0 and x=y=0?  Use an explicit identity fix:
+        filled = jnp.zeros((n_buckets + 1,), dtype=bool).at[idx].set(True)[
+            :n_buckets
+        ]
+        ident = curve.identity((n_buckets,))
+        buckets = tuple(
+            jax.tree.map(
+                lambda idn, bk: jnp.where(filled[None], bk, idn), idn_, bk_
+            )
+            for idn_, bk_ in zip(ident, buckets)
+        )
+        # bucket reduction: S = sum_{b>=1} b * B_b via running + suffix sums,
+        # scanning buckets from highest to lowest
+        def red_step(carry, bucket):
+            running, total = carry
+            running = curve.add(running, bucket)
+            total = curve.add(total, running)
+            return (running, total), None
+
+        rev = jax.tree.map(lambda x: x[..., ::-1][..., :-1], buckets)  # b = m-1..1
+        init = (curve.identity(()), curve.identity(()))
+        (_, total), _ = jax.lax.scan(
+            red_step,
+            init,
+            jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), rev),
+        )
+        return total
+
+    # windows high -> low with c doublings between
+    def outer_step(acc, keys):
+        for _ in range(c):
+            acc = curve.double(acc)
+        acc = curve.add(acc, window_sum(keys))
+        return acc, None
+
+    acc, _ = jax.lax.scan(outer_step, curve.identity(()), digits[::-1])
+    return acc
+
+
+def msm_g1(points_proj, scalars_mont, c: int = 8):
+    """sum_i [s_i] P_i over G1; equals the fold of serial scalar-muls."""
+    return _msm_curve(G1, points_proj, scalars_mont, c)
+
+
+def msm_g2(points_proj, scalars_mont, c: int = 8):
+    return _msm_curve(G2, points_proj, scalars_mont, c)

@@ -1,0 +1,324 @@
+"""Batched optimal-ate pairing on device (reference src/pairings.rs).
+
+Architecture (TPU-first redesign of pairings.rs:498-694):
+
+  * Line convention: D-twist "045" sparse lines (see hostmath module docs):
+    the line through points of E'(Fp2), evaluated at P = (xp, yp) in G1, is
+
+        l = (a * yp) * 1  +  b * (v w)  +  (c * xp) * (v^2 w)
+
+    with (a, b, c) Fp2 coefficients independent of P.  Projective (no
+    inversions), derived by scaling the affine line by elements of Fp2 —
+    legal because Fp2 factors are killed by the final exponentiation.
+
+  * prepare_g2 (== G2Prepared, pairings.rs:498-546) computes the 68
+    coefficient triples [63 doubling + 5 addition steps for
+    BLS_X = 0xd201000000010000] as a lax.scan with masked double/add branches.
+
+  * miller_loop_batched runs ONE uniform 68-step lax.scan: step i optionally
+    squares f (squeeze flag) then multiplies by line i — so the compiled
+    graph is a single step body regardless of schedule.
+
+  * Final exponentiation: easy part (p^6-1)(p^2+1), then the hard part with
+    cofactor 3 via the exact digit decomposition (verified in
+    tests/test_pairing.py against the integer exponent):
+
+        3 (p^4-p^2+1)/q = l0 + l1 p + l2 p^2 + l3 p^3
+        l3 = (z-1)^2,  l2 = z l3,  l1 = z l2 - l3,  l0 = z l1 + 3
+
+    computed with 5 exponentiations by |z| (cyclotomic inverse = conjugate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import params
+from ..curves import g2 as G2
+from ..fields import fp, tower as tw
+
+# ---------------------------------------------------------------------------
+# Miller loop schedule (static): bits of BLS_X below the MSB
+# ---------------------------------------------------------------------------
+
+_X_BITS = [int(b) for b in bin(params.BLS_X)[3:]]  # 63 bits
+N_DOUBLING_STEPS = len(_X_BITS)  # 63
+N_COEFFS = N_DOUBLING_STEPS + sum(_X_BITS)  # 68 (pairings.rs:539)
+
+# per-coefficient-step schedule: for each of the 68 line applications,
+# whether f is squared first (True for doubling steps) — see miller scan
+_SQR_FLAGS = []
+_IS_ADD_STEP = []
+for _bit in _X_BITS:
+    _SQR_FLAGS.append(True)
+    _IS_ADD_STEP.append(False)
+    if _bit:
+        _SQR_FLAGS.append(False)
+        _IS_ADD_STEP.append(True)
+_SQR_FLAGS = np.array(_SQR_FLAGS)
+_IS_ADD_STEP = np.array(_IS_ADD_STEP)
+assert len(_SQR_FLAGS) == N_COEFFS
+
+
+# ---------------------------------------------------------------------------
+# Projective line coefficients
+# ---------------------------------------------------------------------------
+
+
+def _dbl_line(t):
+    """Tangent-line coefficients at T = (X:Y:Z) on E'(Fp2).
+
+    Affine line scaled by 2YZ^2 (an Fp2 factor):
+        a = xi * 2 Y Z^2          (multiplies yp)
+        b = 3 X^3 - 2 Y^2 Z
+        c = -3 X^2 Z              (multiplies xp)
+    """
+    x, y, z = t
+    xx, yy, yz = tw.fp2_mul_many([(x, x), (y, y), (y, z)])
+    xxx, yyz, yzz, xxz = tw.fp2_mul_many(
+        [(xx, x), (yy, z), (yz, z), (xx, z)]
+    )
+    xxx3 = tw.fp2_add(tw.fp2_add(xxx, xxx), xxx)  # 3X^3
+    yyz2 = tw.fp2_add(yyz, yyz)  # 2 Y^2 Z
+    a = tw.fp2_mul_by_nonresidue(tw.fp2_add(yzz, yzz))  # xi * 2 Y Z^2
+    b = tw.fp2_sub(xxx3, yyz2)
+    xxz3 = tw.fp2_add(tw.fp2_add(xxz, xxz), xxz)
+    c = tw.fp2_neg(xxz3)
+    return (a, b, c)
+
+
+def _add_line(t, q_aff):
+    """Chord-line coefficients through T = (X:Y:Z) and affine Q = (xq, yq).
+
+    Affine line scaled by D = X - xq Z:
+        a = xi * D
+        b = N xq - yq D      with N = Y - yq Z
+        c = -N
+    """
+    x, y, z = t
+    xq, yq = q_aff
+    xqz, yqz = tw.fp2_mul_many([(xq, z), (yq, z)])
+    d = tw.fp2_sub(x, xqz)
+    n = tw.fp2_sub(y, yqz)
+    a = tw.fp2_mul_by_nonresidue(d)
+    nxq, yqd = tw.fp2_mul_many([(n, xq), (yq, d)])
+    b = tw.fp2_sub(nxq, yqd)
+    c = tw.fp2_neg(n)
+    return (a, b, c)
+
+
+# ---------------------------------------------------------------------------
+# G2 preparation (== G2Prepared, pairings.rs:498-546)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class G2Prepared:
+    """68 line-coefficient triples, each an Fp2 batch: coeffs[i] has shape
+    [3(a,b,c), 2(c0,c1), L, *batch].  `infinity` masks identity inputs
+    (lines become no-ops, pairings.rs:563-586 semantics)."""
+
+    coeffs: jnp.ndarray  # [68, 3, 2, L, *batch] uint32
+    infinity: jnp.ndarray  # [*batch] bool
+
+
+jax.tree_util.register_pytree_node(
+    G2Prepared,
+    lambda g: ((g.coeffs, g.infinity), None),
+    lambda _, c: G2Prepared(*c),
+)
+
+
+def _pack_fp2(a):
+    return jnp.stack([a[0], a[1]])  # [2, L, *batch]
+
+
+def _unpack_fp2(arr):
+    return (arr[0], arr[1])
+
+
+def prepare_g2(q_aff) -> G2Prepared:
+    """Compute the 68 line-coefficient triples for an affine G2 batch.
+
+    Identity inputs are replaced by the generator during computation and
+    masked at application time (the reference's conditional_select dance,
+    pairings.rs:611-614).
+    """
+    xq, yq, inf = q_aff
+    batch = xq[0].shape[1:]
+    gen = G2.generator_affine(batch)
+    xq = tw.fp2_select(inf, gen[0], xq)
+    yq = tw.fp2_select(inf, gen[1], yq)
+    q_proj = (xq, yq, tw.fp2_one(batch))
+
+    is_add = jnp.asarray(_IS_ADD_STEP)
+
+    def step(t, is_add_step):
+        dbl_c = _dbl_line(t)
+        t_dbl = G2.double(t)
+        add_c = _add_line(t, (xq, yq))
+        t_add = G2.add_mixed(t, (xq, yq, jnp.zeros(batch, dtype=bool)))
+        mask = jnp.broadcast_to(is_add_step, batch)
+        coeff = tuple(
+            tw.fp2_select(mask, ac, dc) for ac, dc in zip(add_c, dbl_c)
+        )
+        t_next = tuple(
+            tw.fp2_select(mask, ta, td) for ta, td in zip(t_add, t_dbl)
+        )
+        packed = jnp.stack([_pack_fp2(c) for c in coeff])  # [3, 2, L, *batch]
+        return t_next, packed
+
+    _, coeffs = jax.lax.scan(step, q_proj, is_add)
+    return G2Prepared(coeffs=coeffs, infinity=inf)
+
+
+# ---------------------------------------------------------------------------
+# Miller loop
+# ---------------------------------------------------------------------------
+
+
+def miller_loop_batched(p_aff, prep: G2Prepared):
+    """f_{|z|,Q}(P) (conjugated for z < 0) for batches of G1 points and
+    prepared G2 coefficients.  One uniform 68-step scan.
+
+    Identity terms (either side) contribute f *= 1 (pairings.rs:563-586).
+    """
+    xp, yp, inf_p = p_aff
+    batch = xp.shape[1:]
+    either_inf = inf_p | prep.infinity
+
+    one2 = tw.fp2_one(batch)
+    zero2 = tw.fp2_zero(batch)
+
+    sqr_flags = jnp.asarray(_SQR_FLAGS)
+
+    def step(f, xs):
+        coeff, do_sqr = xs
+        a = _unpack_fp2(coeff[0])
+        b = _unpack_fp2(coeff[1])
+        c = _unpack_fp2(coeff[2])
+        # scale by the G1 point (ell(), pairings.rs:696-707) — one fold
+        from ..fields import fp as _fp
+
+        s0, s1, s2, s3 = _fp.mul_many(
+            [(a[0], yp), (a[1], yp), (c[0], xp), (c[1], xp)]
+        )
+        g0 = (s0, s1)
+        g4 = b
+        g5 = (s2, s3)
+        # identity masking: line := 1
+        g0 = tw.fp2_select(either_inf, one2, g0)
+        g4 = tw.fp2_select(either_inf, zero2, g4)
+        g5 = tw.fp2_select(either_inf, zero2, g5)
+        f_sq = tw.fp12_sqr(f)
+        f = tw.fp12_select(jnp.broadcast_to(do_sqr, batch), f_sq, f)
+        f = tw.fp12_mul_by_045(f, g0, g4, g5)
+        return f, None
+
+    f0 = tw.fp12_one(batch)
+    f, _ = jax.lax.scan(step, f0, (prep.coeffs, sqr_flags))
+    # z < 0: conjugate (pairings.rs:687-691)
+    return tw.fp12_conjugate(f)
+
+
+def multi_miller_loop(p_affs, prep: G2Prepared):
+    """Product of Miller values over the leading batch axis (the shared-
+    accumulator semantics of pairings.rs:554-603; same value, computed as a
+    batched loop + tree product)."""
+    f = miller_loop_batched(p_affs, prep)
+    return _tree_product(f)
+
+
+def _tree_product(f):
+    """Reduce an Fp12 batch [..., n] by multiplication along the LAST batch
+    axis via a halving tree (log2 n fp12_muls)."""
+
+    def last_dim(x):
+        return x.shape[-1]
+
+    n = last_dim(f[0][0][0])
+    while n > 1:
+        half = n // 2
+        lo = jax.tree.map(lambda x: x[..., :half], f)
+        hi = jax.tree.map(lambda x: x[..., half : 2 * half], f)
+        prod = tw.fp12_mul(lo, hi)
+        if n % 2:
+            tail = jax.tree.map(lambda x: x[..., -1:], f)
+            prod = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=-1), prod, tail
+            )
+        f = prod
+        n = last_dim(f[0][0][0])
+    return jax.tree.map(lambda x: x[..., 0], f)
+
+
+# ---------------------------------------------------------------------------
+# Final exponentiation
+# ---------------------------------------------------------------------------
+
+
+def _cyclotomic_exp_u(f):
+    """f^|z| in the cyclotomic subgroup (vartime fixed schedule,
+    pairings.rs:115-132 analog)."""
+    batch = f[0][0][0].shape[1:]
+    bits = np.array(_X_BITS, dtype=np.bool_)
+
+    def step(acc, bit):
+        acc = tw.fp12_cyclotomic_sqr(acc)
+        acc = tw.fp12_select(
+            jnp.broadcast_to(bit, batch), tw.fp12_mul(acc, f), acc
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, f, jnp.asarray(bits))
+    return acc
+
+
+def _exp_z(f):
+    """f^z = conj(f^|z|) (z negative; conjugate = inverse in the cyclotomic
+    subgroup)."""
+    return tw.fp12_conjugate(_cyclotomic_exp_u(f))
+
+
+def final_exponentiation(f):
+    """f^((p^12-1)/q * 3) — the reference-compatible final exponentiation
+    (cofactor-3 hard part; validated against RELIC in tests)."""
+    # easy part: f^((p^6-1)(p^2+1))  (pairings.rs:134-147)
+    f = tw.fp12_mul(tw.fp12_conjugate(f), tw.fp12_inv(f))
+    f = tw.fp12_mul(tw.fp12_frobenius(tw.fp12_frobenius(f)), f)
+    # hard part via exact digits: l3=(z-1)^2, l2=z l3, l1=z l2-l3, l0=z l1+3
+    # f is now cyclotomic: inverse == conjugate
+    fz = _exp_z(f)  # f^z
+    a = tw.fp12_mul(fz, tw.fp12_conjugate(f))  # f^(z-1)
+    c = tw.fp12_mul(_exp_z(a), tw.fp12_conjugate(a))  # f^((z-1)^2) = f^l3
+    t3 = c
+    t2 = _exp_z(c)  # f^l2
+    t1 = tw.fp12_mul(_exp_z(t2), tw.fp12_conjugate(c))  # f^(z l2 - l3)
+    f3 = tw.fp12_mul(tw.fp12_sqr(f), f)  # f^3
+    t0 = tw.fp12_mul(_exp_z(t1), f3)  # f^(z l1 + 3)
+    out = t0
+    out = tw.fp12_mul(out, tw.fp12_frobenius(t1))
+    out = tw.fp12_mul(out, tw.fp12_frobenius(tw.fp12_frobenius(t2)))
+    out = tw.fp12_mul(
+        out, tw.fp12_frobenius(tw.fp12_frobenius(tw.fp12_frobenius(t3)))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Top-level pairings
+# ---------------------------------------------------------------------------
+
+
+def pairing(p_aff, q_aff):
+    """e(P, Q) for batches of affine points (pairings.rs:607-653)."""
+    return final_exponentiation(miller_loop_batched(p_aff, prepare_g2(q_aff)))
+
+
+def pairing_batched(p_aff, q_aff):
+    """Alias emphasizing the batch semantics: element-wise e(P_i, Q_i)."""
+    return pairing(p_aff, q_aff)

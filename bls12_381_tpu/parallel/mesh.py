@@ -1,0 +1,31 @@
+"""Device-mesh helpers for multi-chip execution.
+
+The reference is single-threaded (SURVEY.md §2.4); all parallelism here is
+new TPU-first design: a 1-D "x" mesh over chips (extend to ("host", "x") for
+DCN-spanning meshes), shard_map-based SPMD, XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_batch(mesh: Mesh, arr, axis_name: str = "x"):
+    """Place a [..., B] batch with B sharded over the mesh axis."""
+    ndim = arr.ndim
+    spec = P(*([None] * (ndim - 1) + [axis_name]))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )

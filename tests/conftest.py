@@ -15,6 +15,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Some PJRT plugins (e.g. the axon TPU tunnel) override JAX_PLATFORMS; the
+# config update below wins regardless.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the big tower/pairing graphs compile in
+# minutes on the CPU backend; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/bls12_381_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import pathlib
 import sys
 

@@ -1,0 +1,182 @@
+"""Device G1/G2 group law, endomorphisms, serialization vs the host oracle
+and the reference .dat vector files."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import conftest
+from bls12_381_tpu import hostmath as hm
+from bls12_381_tpu.curves import g1, g2
+from bls12_381_tpu.fields import fp, fr, tower as tw
+from bls12_381_tpu.params import P, Q, G1_GEN, G2_GEN
+
+B = 4
+random.seed(7)
+KS = [1, 2, random.randrange(Q), random.randrange(Q)]
+
+
+def g1_dec(aff):
+    x, y, inf = fp.to_ints(aff[0]), fp.to_ints(aff[1]), np.asarray(aff[2])
+    return [None if inf[i] else (int(x[i]), int(y[i])) for i in range(len(inf))]
+
+
+def g2_dec(aff):
+    x0, x1 = tw.fp2_to_ints(aff[0])
+    y0, y1 = tw.fp2_to_ints(aff[1])
+    inf = np.asarray(aff[2])
+    return [
+        None
+        if inf[i]
+        else ((int(x0[i]), int(x1[i])), (int(y0[i]), int(y1[i])))
+        for i in range(len(inf))
+    ]
+
+
+def g1_enc(points):
+    xs = [p[0] if p else 0 for p in points]
+    ys = [p[1] if p else 1 for p in points]
+    infs = [p is None for p in points]
+    return (fp.from_ints(xs), fp.from_ints(ys), jnp.asarray(infs))
+
+
+def g2_enc(points):
+    xs = [p[0] if p else (0, 0) for p in points]
+    ys = [p[1] if p else (1, 0) for p in points]
+    infs = [p is None for p in points]
+    return (tw.fp2_from_ints(xs), tw.fp2_from_ints(ys), jnp.asarray(infs))
+
+
+HOST_G1 = [hm.g1_mul(G1_GEN, k) for k in KS]
+HOST_G2 = [hm.g2_mul(G2_GEN, k) for k in KS]
+
+
+class TestG1:
+    def test_double_add_vs_host(self):
+        gen = g1.generator((B,))
+        assert g1_dec(g1.to_affine(g1.double(gen))) == [hm.g1_double(G1_GEN)] * B
+        d = g1.double(gen)
+        assert g1_dec(g1.to_affine(g1.add(d, gen))) == [
+            hm.g1_mul(G1_GEN, 3)
+        ] * B
+        assert g1_dec(g1.to_affine(g1.add_mixed(d, g1.generator_affine((B,))))) == [
+            hm.g1_mul(G1_GEN, 3)
+        ] * B
+
+    def test_identity_cases(self):
+        gen = g1.generator((B,))
+        idp = g1.identity((B,))
+        assert g1_dec(g1.to_affine(g1.add(gen, idp))) == [G1_GEN] * B
+        assert g1_dec(g1.to_affine(g1.add(idp, idp))) == [None] * B
+        assert g1_dec(g1.to_affine(g1.add(gen, g1.neg(gen)))) == [None] * B
+        assert g1_dec(g1.to_affine(g1.add(gen, gen))) == [
+            hm.g1_double(G1_GEN)
+        ] * B
+        assert list(np.asarray(g1.is_on_curve(gen))) == [True] * B
+        assert list(np.asarray(g1.is_on_curve(idp))) == [True] * B
+
+    def test_scalar_mul(self):
+        out = g1.scalar_mul(g1.generator((B,)), fr.from_ints(KS))
+        assert g1_dec(g1.to_affine(out)) == HOST_G1
+
+    def test_torsion_and_cofactor(self):
+        pts = g1.from_affine(g1_enc(HOST_G1))
+        assert np.asarray(g1.is_torsion_free(pts)).all()
+        # out-of-subgroup point
+        x = 5
+        while True:
+            yv = hm.fp_sqrt((x * x * x + 4) % P)
+            if yv is not None and not hm.g1_is_torsion_free((x, yv)):
+                break
+            x += 1
+        bad = g1.from_affine(g1_enc([(x, yv)] * B))
+        assert not np.asarray(g1.is_torsion_free(bad)).any()
+        cleared = g1.clear_cofactor(bad)
+        assert g1_dec(g1.to_affine(cleared)) == [hm.g1_clear_cofactor((x, yv))] * B
+        assert np.asarray(g1.is_torsion_free(cleared)).all()
+
+    def test_serialization_vs_dat(self):
+        comp = open(conftest.VECTORS / "g1_compressed_valid_test_vectors.dat", "rb").read()
+        uncomp = open(conftest.VECTORS / "g1_uncompressed_valid_test_vectors.dat", "rb").read()
+        n = 32
+        pts, acc = [], None
+        for _ in range(n):
+            pts.append(acc)
+            acc = hm.g1_add(acc, G1_GEN)
+        aff = g1_enc(pts)
+        got_c = g1.to_compressed_host(aff)
+        got_u = g1.to_uncompressed_host(aff)
+        for i in range(n):
+            assert bytes(got_c[i].tolist()) == comp[i * 48 : (i + 1) * 48], i
+            assert bytes(got_u[i].tolist()) == uncomp[i * 96 : (i + 1) * 96], i
+        back, ok = g1.from_compressed_host(got_c, check_subgroup=True)
+        assert ok.all()
+        assert g1_dec(back) == pts
+        back, ok = g1.from_uncompressed_host(got_u, check=True)
+        assert ok.all()
+        assert g1_dec(back) == pts
+
+    def test_malformed_rejected(self):
+        aff = g1_enc([G1_GEN])
+        comp = g1.to_compressed_host(aff)
+        # flip compression bit
+        bad = comp.copy()
+        bad[..., 0] &= 0b0111_1111
+        _, ok = g1.from_compressed_host(bad, check_subgroup=False)
+        assert not ok.any()
+        # infinity with sort bit
+        infc = g1.to_compressed_host(g1_enc([None]))
+        bad = infc.copy()
+        bad[..., 0] |= 0b0010_0000
+        _, ok = g1.from_compressed_host(bad, check_subgroup=False)
+        assert not ok.any()
+        # non-canonical field element
+        bad = np.full((1, 48), 0xFF, dtype=np.uint8)
+        _, ok = g1.from_compressed_host(bad, check_subgroup=False)
+        assert not ok.any()
+
+
+class TestG2:
+    def test_double_scalar_mul(self):
+        gen = g2.generator((B,))
+        assert g2_dec(g2.to_affine(g2.double(gen))) == [hm.g2_double(G2_GEN)] * B
+        out = g2.scalar_mul(gen, fr.from_ints(KS))
+        assert g2_dec(g2.to_affine(out)) == HOST_G2
+
+    def test_psi(self):
+        pts = g2.from_affine(g2_enc(HOST_G2))
+        got = g2_dec(g2.to_affine(g2.psi(pts)))
+        assert got == [hm.g2_psi(p) for p in HOST_G2]
+        # psi(P) == [z]P on the subgroup
+        assert np.asarray(g2.is_torsion_free(pts)).all()
+
+    def test_clear_cofactor_matches_h_eff(self):
+        u = (12345, 67890)
+        pt = hm.map_to_curve_g2(u)  # on curve, not in subgroup
+        enc = g2.from_affine(g2_enc([pt] * B))
+        assert not np.asarray(g2.is_torsion_free(enc)).any()
+        got = g2_dec(g2.to_affine(g2.clear_cofactor(enc)))
+        assert got == [hm.g2_clear_cofactor(pt)] * B
+
+    def test_serialization_vs_dat(self):
+        comp = open(conftest.VECTORS / "g2_compressed_valid_test_vectors.dat", "rb").read()
+        uncomp = open(conftest.VECTORS / "g2_uncompressed_valid_test_vectors.dat", "rb").read()
+        n = 16
+        pts, acc = [], None
+        for _ in range(n):
+            pts.append(acc)
+            acc = hm.g2_add(acc, G2_GEN)
+        aff = g2_enc(pts)
+        got_c = g2.to_compressed_host(aff)
+        got_u = g2.to_uncompressed_host(aff)
+        for i in range(n):
+            assert bytes(got_c[i].tolist()) == comp[i * 96 : (i + 1) * 96], i
+            assert bytes(got_u[i].tolist()) == uncomp[i * 192 : (i + 1) * 192], i
+        back, ok = g2.from_compressed_host(got_c, check_subgroup=True)
+        assert ok.all()
+        assert g2_dec(back) == pts
+        back, ok = g2.from_uncompressed_host(got_u, check=True)
+        assert ok.all()
+        assert g2_dec(back) == pts

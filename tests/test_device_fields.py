@@ -1,0 +1,272 @@
+"""Device field layers (limbs, Fp, Fr, tower) vs the host oracle.
+
+Runs eagerly on CPU where possible — jit-compiling the larger tower ops takes
+minutes on the CPU backend and correctness is identical.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (forces CPU platform)
+from bls12_381_tpu import hostmath as hm
+from bls12_381_tpu import limbs as lb
+from bls12_381_tpu.fields import fp, fr, tower as tw
+from bls12_381_tpu.params import P, Q
+
+B = 8
+random.seed(2024)
+
+
+def rints(n, mod):
+    return [random.randrange(mod) for _ in range(n)]
+
+
+def rfp2():
+    return [(random.randrange(P), random.randrange(P)) for _ in range(B)]
+
+
+def enc6(vals):
+    return tuple(tw.fp2_from_ints([v[j] for v in vals]) for j in range(3))
+
+
+def dec6(d):
+    outs = [tw.fp2_to_ints(c) for c in d]
+    return [
+        tuple((int(outs[j][0][i]), int(outs[j][1][i])) for j in range(3))
+        for i in range(B)
+    ]
+
+
+def enc12(vals):
+    return tuple(enc6([v[j] for v in vals]) for j in range(2))
+
+
+def dec12(d):
+    c0, c1 = dec6(d[0]), dec6(d[1])
+    return [(c0[i], c1[i]) for i in range(B)]
+
+
+# ---------------------------------------------------------------------------
+# limbs / Fp / Fr
+# ---------------------------------------------------------------------------
+
+
+class TestLimbs:
+    a_h = rints(B, P)
+    b_h = rints(B, P)
+    a = fp.from_ints(a_h)
+    b = fp.from_ints(b_h)
+
+    def test_roundtrip(self):
+        assert [int(x) for x in fp.to_ints(self.a)] == self.a_h
+
+    def test_add_sub_neg(self):
+        got = fp.to_ints(fp.add(self.a, self.b))
+        assert all(int(g) == (x + y) % P for g, x, y in zip(got, self.a_h, self.b_h))
+        got = fp.to_ints(fp.sub(self.a, self.b))
+        assert all(int(g) == (x - y) % P for g, x, y in zip(got, self.a_h, self.b_h))
+        got = fp.to_ints(fp.neg(self.a))
+        assert all(int(g) == (-x) % P for g, x in zip(got, self.a_h))
+
+    def test_mont_mul(self):
+        got = fp.to_ints(fp.mul(self.a, self.b))
+        assert all(int(g) == x * y % P for g, x, y in zip(got, self.a_h, self.b_h))
+
+    def test_sum_of_products(self):
+        pa = [rints(B, P) for _ in range(6)]
+        pb = [rints(B, P) for _ in range(6)]
+        got = fp.to_ints(
+            fp.sop([(fp.from_ints(x), fp.from_ints(y)) for x, y in zip(pa, pb)])
+        )
+        exp = [sum(pa[t][i] * pb[t][i] for t in range(6)) % P for i in range(B)]
+        assert [int(g) for g in got] == exp
+
+    def test_edge_values(self):
+        edge = [0, 1, P - 1, P - 2, (P - 1) // 2, (P + 1) // 2]
+        ea = fp.from_ints(edge)
+        got = fp.to_ints(fp.mul(ea, ea))
+        assert all(int(g) == x * x % P for g, x in zip(got, edge))
+        got = fp.to_ints(fp.add(ea, ea))
+        assert all(int(g) == (2 * x) % P for g, x in zip(got, edge))
+        # lexicographic (gt_half) on canonical values
+        assert list(fp.lexicographically_largest(ea)) == [
+            x > (P - 1) // 2 for x in edge
+        ]
+
+    def test_inv_sqrt(self):
+        got = fp.to_ints(fp.inv(self.a))
+        assert all(int(g) == pow(x, P - 2, P) for g, x in zip(got, self.a_h))
+        sq_h = [x * x % P for x in self.a_h]
+        root, ok = fp.sqrt(fp.from_ints(sq_h))
+        assert all(bool(o) for o in ok)
+        got = fp.to_ints(root)
+        assert all(int(g) * int(g) % P == s for g, s in zip(got, sq_h))
+        # QNR detection: 5 is a non-square mod p
+        _, ok = fp.sqrt(fp.from_ints([5] * B))
+        assert not any(bool(o) for o in ok)
+
+    def test_fr_ops(self):
+        fa, fb = rints(B, Q), rints(B, Q)
+        got = fr.to_ints(fr.mul(fr.from_ints(fa), fr.from_ints(fb)))
+        assert all(int(g) == x * y % Q for g, x, y in zip(got, fa, fb))
+        got = fr.to_ints(fr.inv(fr.from_ints(fa)))
+        assert all(int(g) == pow(x, Q - 2, Q) for g, x in zip(got, fa))
+
+    def test_bytes_codecs(self):
+        data = fp.to_bytes_host(self.a)
+        assert data.shape == (B, 48)
+        assert bytes(data[0].tolist()) == hm.fp_to_bytes(self.a_h[0])
+        back, ok = fp.from_bytes_host(data)
+        assert ok.all()
+        assert [int(x) for x in fp.to_ints(back)] == self.a_h
+        # non-canonical rejected
+        bad = np.full((48,), 0xFF, dtype=np.uint8)
+        _, ok = fp.from_bytes_host(bad)
+        assert not bool(ok)
+
+        fvals = rints(B, Q)
+        fenc = fr.from_ints(fvals)
+        fdata = fr.to_bytes_host(fenc)
+        assert bytes(fdata[0].tolist()) == hm.fr_to_bytes(fvals[0])
+        back, ok = fr.from_bytes_host(fdata)
+        assert ok.all()
+        assert [int(x) for x in fr.to_ints(back)] == fvals
+
+
+# ---------------------------------------------------------------------------
+# tower
+# ---------------------------------------------------------------------------
+
+
+class TestFp2:
+    a_h = rfp2()
+    b_h = rfp2()
+    a = tw.fp2_from_ints(a_h)
+    b = tw.fp2_from_ints(b_h)
+
+    def check(self, dev, exp):
+        g0, g1 = tw.fp2_to_ints(dev)
+        assert [(int(x), int(y)) for x, y in zip(g0, g1)] == exp
+
+    def test_mul(self):
+        self.check(tw.fp2_mul(self.a, self.b),
+                   [hm.fp2_mul(x, y) for x, y in zip(self.a_h, self.b_h)])
+
+    def test_sqr(self):
+        self.check(tw.fp2_sqr(self.a), [hm.fp2_square(x) for x in self.a_h])
+
+    def test_inv(self):
+        self.check(tw.fp2_inv(self.a), [hm.fp2_inv(x) for x in self.a_h])
+
+    def test_nonresidue_frobenius(self):
+        self.check(tw.fp2_mul_by_nonresidue(self.a),
+                   [hm.fp2_mul_by_nonresidue(x) for x in self.a_h])
+        self.check(tw.fp2_frobenius(self.a),
+                   [hm.fp2_conjugate(x) for x in self.a_h])
+
+    def test_sqrt(self):
+        sq_h = [hm.fp2_square(x) for x in self.a_h]
+        root, ok = tw.fp2_sqrt(tw.fp2_from_ints(sq_h))
+        assert all(bool(o) for o in ok)
+        g0, g1 = tw.fp2_to_ints(root)
+        for i in range(B):
+            assert hm.fp2_square((int(g0[i]), int(g1[i]))) == sq_h[i]
+
+    def test_lexicographic_sgn0(self):
+        assert list(tw.fp2_lexicographically_largest(self.a)) == [
+            hm.fp2_lexicographically_largest(x) for x in self.a_h
+        ]
+        assert [int(s) for s in tw.fp2_sgn0(self.a)] == [
+            hm.fp2_sgn0(x) for x in self.a_h
+        ]
+
+
+class TestFp6Fp12:
+    a6_h = [tuple((random.randrange(P), random.randrange(P)) for _ in range(3))
+            for _ in range(B)]
+    b6_h = [tuple((random.randrange(P), random.randrange(P)) for _ in range(3))
+            for _ in range(B)]
+
+    def test_fp6_mul_inv_frob(self):
+        a6, b6 = enc6(self.a6_h), enc6(self.b6_h)
+        assert dec6(tw.fp6_mul(a6, b6)) == [
+            hm.fp6_mul(x, y) for x, y in zip(self.a6_h, self.b6_h)
+        ]
+        assert dec6(tw.fp6_inv(a6)) == [hm.fp6_inv(x) for x in self.a6_h]
+        assert dec6(tw.fp6_frobenius(a6)) == [
+            hm.fp6_frobenius(x) for x in self.a6_h
+        ]
+
+    def test_fp6_sparse(self):
+        a6 = enc6(self.a6_h)
+        g1v, g2v = rfp2(), rfp2()
+        got = dec6(tw.fp6_mul_by_12(a6, tw.fp2_from_ints(g1v),
+                                    tw.fp2_from_ints(g2v)))
+        assert got == [
+            hm.fp6_mul(x, (hm.FP2_ZERO, g1v[i], g2v[i]))
+            for i, x in enumerate(self.a6_h)
+        ]
+
+    def test_fp12_ops(self):
+        a12_h = [(self.a6_h[i], self.b6_h[i]) for i in range(B)]
+        b12_h = [(self.b6_h[i], self.a6_h[i]) for i in range(B)]
+        a12, b12 = enc12(a12_h), enc12(b12_h)
+        assert dec12(tw.fp12_mul(a12, b12)) == [
+            hm.fp12_mul(x, y) for x, y in zip(a12_h, b12_h)
+        ]
+        assert dec12(tw.fp12_sqr(a12)) == [hm.fp12_square(x) for x in a12_h]
+        assert dec12(tw.fp12_inv(a12)) == [hm.fp12_inv(x) for x in a12_h]
+        assert dec12(tw.fp12_frobenius(a12)) == [
+            hm.fp12_frobenius(x) for x in a12_h
+        ]
+        assert dec12(tw.fp12_conjugate(a12)) == [
+            hm.fp12_conjugate(x) for x in a12_h
+        ]
+
+    def test_fp12_sparse_045(self):
+        a12_h = [(self.a6_h[i], self.b6_h[i]) for i in range(B)]
+        a12 = enc12(a12_h)
+        g0v, g4v, g5v = rfp2(), rfp2(), rfp2()
+        got = dec12(tw.fp12_mul_by_045(
+            a12, tw.fp2_from_ints(g0v), tw.fp2_from_ints(g4v),
+            tw.fp2_from_ints(g5v)))
+        assert got == [
+            hm.fp12_mul(x, ((g0v[i], hm.FP2_ZERO, hm.FP2_ZERO),
+                            (hm.FP2_ZERO, g4v[i], g5v[i])))
+            for i, x in enumerate(a12_h)
+        ]
+
+    def test_fp12_pow(self):
+        a12_h = [(self.a6_h[i], self.b6_h[i]) for i in range(B)]
+        a12 = enc12(a12_h)
+        assert dec12(tw.fp12_pow(a12, 12345)) == [
+            hm.fp12_pow(x, 12345) for x in a12_h
+        ]
+
+
+def test_pallas_sop_kernel_interpret():
+    """The Pallas fused kernel (interpret mode on CPU) must match the jnp
+    path bit-exactly."""
+    import jax.numpy as jnp
+
+    from bls12_381_tpu.kernels import pallas_mont
+
+    nb = 32
+    pa = [rints(nb, P) for _ in range(4)]
+    pb = [rints(nb, P) for _ in range(4)]
+    pairs = [(fp.from_ints(x), fp.from_ints(y)) for x, y in zip(pa, pb)]
+    ref = fp.to_ints(lb.sum_of_products(lb.FP, pairs))
+    a_stack = jnp.stack([p[0] for p in pairs])
+    b_stack = jnp.stack([p[1] for p in pairs])
+    got = pallas_mont.sop_pallas(
+        a_stack,
+        b_stack,
+        n_limbs=lb.FP.n_limbs,
+        inv16=lb.FP.inv16,
+        p_limbs=tuple(int(x) for x in lb.FP.p_limbs),
+        block_b=32,
+        interpret=True,
+    )
+    assert [int(v) for v in fp.to_ints(got)] == [int(v) for v in ref]

@@ -1,0 +1,90 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: sharded results must
+equal single-chip results bit-exactly."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import conftest  # noqa: F401
+from bls12_381_tpu import hostmath as hm
+from bls12_381_tpu.curves import g1
+from bls12_381_tpu.fields import fp, fr, tower as tw
+from bls12_381_tpu.ops import msm, ntt
+from bls12_381_tpu.parallel import (
+    mesh as mesh_mod,
+    msm_g1_sharded,
+    ntt_sharded,
+    pairing_sharded,
+)
+from bls12_381_tpu.params import Q, G1_GEN, G2_GEN
+
+random.seed(17)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_msm_sharded_matches_local():
+    mesh = mesh_mod.make_mesh(8)
+    n = 32
+    ks = [random.randrange(Q) for _ in range(n)]
+    host_pts = [hm.g1_mul(G1_GEN, i + 1) for i in range(n)]
+    pts = g1.from_affine(
+        (
+            fp.from_ints([p[0] for p in host_pts]),
+            fp.from_ints([p[1] for p in host_pts]),
+            jnp.zeros((n,), dtype=bool),
+        )
+    )
+    scalars = fr.from_ints(ks)
+    local = msm.msm_g1(pts, scalars, c=4)
+    sharded = msm_g1_sharded(mesh, pts, scalars, c=4)
+    aff_l = g1.to_affine(local)
+    aff_s = g1.to_affine(sharded)
+    assert int(fp.to_ints(aff_l[0])) == int(fp.to_ints(aff_s[0]))
+    assert int(fp.to_ints(aff_l[1])) == int(fp.to_ints(aff_s[1]))
+
+
+def test_ntt_sharded_matches_local():
+    mesh = mesh_mod.make_mesh(8)
+    n = 64
+    coeffs = [random.randrange(Q) for _ in range(n)]
+    enc = fr.from_ints(coeffs)
+    local = ntt.ntt(enc)
+    sharded = ntt_sharded(mesh, enc)
+    assert [int(v) for v in fr.to_ints(local)] == [
+        int(v) for v in fr.to_ints(sharded)
+    ]
+    # inverse roundtrip through the sharded path
+    back = ntt_sharded(mesh, sharded, inverse=True)
+    assert [int(v) for v in fr.to_ints(back)] == coeffs
+
+
+def test_pairing_sharded_aggregate():
+    mesh = mesh_mod.make_mesh(8)
+    b = 8
+    phs = [hm.g1_mul(G1_GEN, i + 1) for i in range(b)]
+    qhs = [hm.g2_mul(G2_GEN, 2 * i + 1) for i in range(b)]
+    p_aff = (
+        fp.from_ints([p[0] for p in phs]),
+        fp.from_ints([p[1] for p in phs]),
+        jnp.zeros((b,), dtype=bool),
+    )
+    q_aff = (
+        tw.fp2_from_ints([q[0] for q in qhs]),
+        tw.fp2_from_ints([q[1] for q in qhs]),
+        jnp.zeros((b,), dtype=bool),
+    )
+    agg = pairing_sharded(mesh, p_aff, q_aff, aggregate=True)
+    acc = hm.FP12_ONE
+    for p, q in zip(phs, qhs):
+        acc = hm.fp12_mul(acc, hm.miller_loop(p, q))
+    expected = hm.final_exponentiation(acc)
+    got = tuple(
+        tuple((int(c2[0]), int(c2[1])) for c2 in c6)
+        for c6 in tw.fp12_to_host(agg)
+    )
+    assert got == expected
