@@ -7,6 +7,7 @@ bits — reference notes/serialization.rs).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,6 +72,7 @@ def generator_affine(batch=()):
     )
 
 
+@jax.jit
 def scalar_mul(p, scalars_mont):
     """[s]P for a batch of Montgomery-form Fr scalars — 4-bit fixed-window
     schedule (the batched analog of g1.rs:754-774 with the wNAF-style window
@@ -101,17 +103,20 @@ def fr_digits4_msb(scalars_mont):
     return jnp.stack(rows)
 
 
+@jax.jit
 def mul_by_x(p):
     """[|z|]P with the fixed public BLS parameter schedule (g1.rs:777-795
     semantics, sign handled by callers)."""
     return CURVE.mul_by_const(p, params.BLS_X)
 
 
+@jax.jit
 def clear_cofactor(p):
     """[1 - z]P = [1 + |z|]P (ia.cr/2019/403; g1.rs:800-802)."""
     return CURVE.mul_by_const(p, params.H_EFF_G1)
 
 
+@jax.jit
 def is_torsion_free(p):
     """phi(P) == -[z^2]P with phi(x:y:z) = (beta x : y : z)
     (ePrint 2021/1130 §6; g1.rs:401-410)."""
@@ -122,6 +127,7 @@ def is_torsion_free(p):
     return CURVE.eq(phi, CURVE.neg(zsq))
 
 
+@jax.jit
 def to_affine(p):
     return CURVE.to_affine(p, fp.inv)
 

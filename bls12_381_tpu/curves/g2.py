@@ -7,6 +7,7 @@ with Fp2 written c1 || c0 (g2.rs:254-282).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,16 +70,19 @@ def generator_affine(batch=()):
     )
 
 
+@jax.jit
 def scalar_mul(p, scalars_mont):
     """4-bit fixed-window scalar multiplication (see g1.scalar_mul)."""
     return CURVE.scalar_mul_windowed(p, _g1.fr_digits4_msb(scalars_mont))
 
 
+@jax.jit
 def mul_by_x(p):
     """[|z|]P (g2.rs semantics: sign handled by callers)."""
     return CURVE.mul_by_const(p, params.BLS_X)
 
 
+@jax.jit
 def psi(p):
     """Untwist-Frobenius-twist: (x:y:z) -> (c_x x^p : c_y y^p : z^p)
     (g2.rs:847-888; constants computed by the host oracle)."""
@@ -92,15 +96,18 @@ def psi(p):
     )
 
 
+@jax.jit
 def psi2(p):
     return psi(psi(p))
 
 
+@jax.jit
 def is_torsion_free(p):
     """psi(P) == [z]P = -[|z|]P (ePrint 2021/1130 §4; g2.rs:475-482)."""
     return CURVE.eq(psi(p), CURVE.neg(mul_by_x(p)))
 
 
+@jax.jit
 def clear_cofactor(p):
     """Budroni-Pintore (ia.cr/2017/419; g2.rs:934-947):
 
@@ -121,6 +128,7 @@ def clear_cofactor(p):
     return acc
 
 
+@jax.jit
 def to_affine(p):
     return CURVE.to_affine(p, tw.fp2_inv)
 

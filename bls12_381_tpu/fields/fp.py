@@ -63,6 +63,35 @@ def pow_fixed(a, e: int):
     return limbs.pow_fixed(FP, a, e)
 
 
+def from_okm(okm):
+    """Device hash_to_field element from 64 OKM bytes (map_g1.rs:506-532).
+
+    okm: [*batch, 64] uint8 big-endian.  The 512-bit value d0*2^256 + d1
+    (d0 = first 32 bytes) is reduced with two Montgomery products:
+    M(v) = mont_mul(lo, R^2) + mont_mul(hi, R^2) * M(2^384), where
+    v = hi*2^384 + lo in raw limb form (both factors < R, so the kernel
+    bounds hold for non-canonical inputs).
+    """
+    import jax.numpy as jnp
+
+    rev = okm[..., ::-1].astype(jnp.uint32)  # little-endian bytes
+    limbs512 = jnp.stack(
+        [rev[..., 2 * k] | (rev[..., 2 * k + 1] << jnp.uint32(8))
+         for k in range(32)]
+    )  # [32, *batch]
+    batch = limbs512.shape[1:]
+    lo = limbs512[: FP.n_limbs]
+    hi = jnp.concatenate(
+        [limbs512[FP.n_limbs :],
+         jnp.zeros((2 * FP.n_limbs - 32,) + batch, jnp.uint32)]
+    )
+    r2 = limbs._bcast(FP.r2_limbs, lo)
+    lo_m = limbs.mont_mul(FP, lo, r2)
+    hi_m = limbs.mont_mul(FP, hi, r2)
+    shift = const(1 << 384, batch)  # M(2^384)
+    return add(limbs.mont_mul(FP, hi_m, shift), lo_m)
+
+
 # ---------------------------------------------------------------------------
 # Byte codecs (host-side, numpy): 48-byte big-endian
 # ---------------------------------------------------------------------------

@@ -39,6 +39,44 @@ def hash_to_field_fp(msgs, dst, count, expand=hm.expand_message_xmd, **kw):
     return fp.from_ints(arr)
 
 
+def _msgs_to_array(msgs):
+    """Equal-length list of bytes -> [B, msg_len] uint8."""
+    if isinstance(msgs, np.ndarray):
+        return msgs
+    lens = {len(m) for m in msgs}
+    assert len(lens) == 1, "device expansion needs equal-length messages"
+    return np.frombuffer(b"".join(msgs), dtype=np.uint8).reshape(len(msgs), -1)
+
+
+def hash_to_field_fp_device(msgs, dst, count):
+    """Fully-on-device hash_to_field: batched SHA-256 expansion + Montgomery
+    from_okm.  msgs: equal-length list of bytes (or [B, len] uint8 array).
+    Returns Fp batch [L, count, B]."""
+    from ..kernels import sha256_jax
+
+    arr = _msgs_to_array(msgs)
+    okm = sha256_jax.expand_message_xmd_sha256(arr, dst, count * 64)
+    okm = okm.reshape(arr.shape[0], count, 64)  # [B, count, 64]
+    u = fp.from_okm(okm)  # [L, B, count]
+    return jnp.moveaxis(u, -1, 1)  # [L, count, B]
+
+
+def hash_to_field_fp2_device(msgs, dst, count):
+    """Device hash_to_field over Fp2 (map_g2.rs:367-379: L=128 per element,
+    c0 from the first 64 bytes, c1 from the last).  Returns an Fp2 batch
+    ([L, count, B], [L, count, B])."""
+    from ..kernels import sha256_jax
+
+    arr = _msgs_to_array(msgs)
+    okm = sha256_jax.expand_message_xmd_sha256(arr, dst, count * 128)
+    okm = okm.reshape(arr.shape[0], count, 2, 64)  # [B, count, (c0,c1), 64]
+    u = fp.from_okm(okm)  # [L, B, count, 2]
+    return (
+        jnp.moveaxis(u[..., 0], -1, 1),
+        jnp.moveaxis(u[..., 1], -1, 1),
+    )
+
+
 def hash_to_field_fp2(msgs, dst, count, expand=hm.expand_message_xmd, **kw):
     """msgs: list of bytes -> Fp2 batch ([L, count, n], [L, count, n])."""
     c0s, c1s = [], []
@@ -172,20 +210,33 @@ def map_to_curve_g2(u):
 
 
 def hash_to_curve_g1(msgs, dst, expand=hm.expand_message_xmd, **kw):
-    """Batched hash_to_curve: list of messages -> projective G1 batch."""
-    u = hash_to_field_fp(msgs, dst, 2, expand=expand, **kw)
+    """Batched hash_to_curve: list of messages -> projective G1 batch.
+
+    expand="device" runs the SHA-256 XMD expansion on device too (equal-
+    length messages), making the whole pipeline one jittable graph.
+    """
+    if expand == "device":
+        u = hash_to_field_fp_device(msgs, dst, 2)
+    else:
+        u = hash_to_field_fp(msgs, dst, 2, expand=expand, **kw)
     q0 = map_to_curve_g1(u[:, 0])
     q1 = map_to_curve_g1(u[:, 1])
     return G1.clear_cofactor(G1.add(q0, q1))
 
 
 def encode_to_curve_g1(msgs, dst, expand=hm.expand_message_xmd, **kw):
-    u = hash_to_field_fp(msgs, dst, 1, expand=expand, **kw)
+    if expand == "device":
+        u = hash_to_field_fp_device(msgs, dst, 1)
+    else:
+        u = hash_to_field_fp(msgs, dst, 1, expand=expand, **kw)
     return G1.clear_cofactor(map_to_curve_g1(u[:, 0]))
 
 
 def hash_to_curve_g2(msgs, dst, expand=hm.expand_message_xmd, **kw):
-    u = hash_to_field_fp2(msgs, dst, 2, expand=expand, **kw)
+    if expand == "device":
+        u = hash_to_field_fp2_device(msgs, dst, 2)
+    else:
+        u = hash_to_field_fp2(msgs, dst, 2, expand=expand, **kw)
     u0 = (u[0][:, 0], u[1][:, 0])
     u1 = (u[0][:, 1], u[1][:, 1])
     q0 = map_to_curve_g2(u0)
@@ -194,5 +245,8 @@ def hash_to_curve_g2(msgs, dst, expand=hm.expand_message_xmd, **kw):
 
 
 def encode_to_curve_g2(msgs, dst, expand=hm.expand_message_xmd, **kw):
-    u = hash_to_field_fp2(msgs, dst, 1, expand=expand, **kw)
+    if expand == "device":
+        u = hash_to_field_fp2_device(msgs, dst, 1)
+    else:
+        u = hash_to_field_fp2(msgs, dst, 1, expand=expand, **kw)
     return G2.clear_cofactor(map_to_curve_g2((u[0][:, 0], u[1][:, 0])))

@@ -75,42 +75,315 @@ def _sop_kernel(a_ref, b_ref, p_ref, out_ref, acc_ref, *, n_limbs, n_terms,
     out_ref[:] = jnp.where(take, diff, t_out[:L])
 
 
+def _repack_16_to_12(rows, n12):
+    """24 16-bit limb registers -> n12 12-bit limb registers ([bb] each).
+
+    Offsets 12k mod 16 cycle through {0, 12, 8, 4}: a 12-bit limb straddles
+    at most two 16-bit rows.
+    """
+    M12 = np.uint32(0xFFF)
+    out = []
+    for k in range(n12):
+        bit = 12 * k
+        i0, off = bit // 16, bit % 16
+        v = rows[i0] >> np.uint32(off) if off else rows[i0]
+        if off > 4 and i0 + 1 < len(rows):
+            v = v | (rows[i0 + 1] << np.uint32(16 - off))
+        out.append(v & M12)
+    return out
+
+
+def _repack_12_to_16(limbs12, n16):
+    """n12 12-bit limb registers -> n16 16-bit limb registers.
+
+    Offsets 16i mod 12 are always in {0, 4, 8}: a 16-bit row is covered by
+    exactly two 12-bit limbs.
+    """
+    M16 = np.uint32(0xFFFF)
+    out = []
+    for i in range(n16):
+        bit = 16 * i
+        j0, off = bit // 12, bit % 12
+        v = limbs12[j0] >> np.uint32(off) if off else limbs12[j0]
+        if j0 + 1 < len(limbs12):
+            v = v | (limbs12[j0 + 1] << np.uint32(12 - off))
+        out.append(v & M16)
+    return out
+
+
+def _r12_reduce_and_pack(acc, *, l12, inv12, p12, n16):
+    """Shared tail for the radix-12 kernels: Montgomery rounds over 12-bit
+    columns, carry ripple, conditional subtract, repack to 16-bit rows.
+
+    acc: list of 2*l12-1 lazy columns ([bb] uint32 registers).
+    Returns the n16 result rows as a list of registers.
+    """
+    M12 = np.uint32(0xFFF)
+    inv = np.uint32(inv12)
+    acc = acc + [jnp.zeros_like(acc[0])]  # headroom column 2*l12-1
+    for k in range(l12):
+        m = (acc[k] * inv) & M12
+        for j in range(l12):
+            acc[k + j] = acc[k + j] + m * np.uint32(p12[j])
+        acc[k + 1] = acc[k + 1] + (acc[k] >> np.uint32(12))
+
+    # carry ripple over columns l12 .. 2*l12-1 => l12 clean limbs (value < 2p
+    # fits l12 * 12 = 384 bits)
+    carry = jnp.zeros_like(acc[0])
+    t_out = []
+    for k in range(l12, 2 * l12):
+        v = acc[k] + carry
+        t_out.append(v & M12)
+        carry = v >> np.uint32(12)
+
+    # conditional subtract p (12-bit ripple borrow)
+    borrow = jnp.zeros_like(acc[0])
+    diffs = []
+    for i in range(l12):
+        v = t_out[i] + np.uint32(1 << 12) - np.uint32(p12[i]) - borrow
+        diffs.append(v & M12)
+        borrow = np.uint32(1) - (v >> np.uint32(12))
+    final = [
+        jnp.where(borrow == 0, d, t) for d, t in zip(diffs, t_out)
+    ]
+    return _repack_12_to_16(final, n16)
+
+
+def _sop_kernel_r12(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv12,
+                    p12, l12):
+    """Radix-2^12 sum-of-products kernel.
+
+    Operands arrive as 16-bit limbs and are repacked to 12-bit limbs in
+    registers.  With 12-bit digits every product is < 2^24, so schoolbook
+    columns accumulate RAW (no per-product lo/hi splitting): a column absorbs
+    l12 products per term plus l12 reduction products — (T+1) * l12 * 4095^2
+    < 2^32 for T <= 6.  The Montgomery radix stays 2^384 = 2^(12*32), so
+    results are bit-identical to the 16-bit path.
+    """
+    L, T = n_limbs, n_terms
+    assert T <= 6, "radix-12 raw accumulation bound"
+    bb = out_ref.shape[-1]
+    zero = jnp.zeros((bb,), jnp.uint32)
+    acc = [zero] * (2 * l12 - 1)
+
+    for t in range(T):
+        a12 = _repack_16_to_12([a_ref[t, i] for i in range(L)], l12)
+        b12 = _repack_16_to_12([b_ref[t, i] for i in range(L)], l12)
+        for i in range(l12):
+            ai = a12[i]
+            for j in range(l12):
+                acc[i + j] = acc[i + j] + ai * b12[j]
+
+    rows = _r12_reduce_and_pack(acc, l12=l12, inv12=inv12, p12=p12, n16=L)
+    out_ref[:] = jnp.stack(rows)
+
+
+def _sqr_kernel_r12(a_ref, out_ref, *, n_limbs, n_groups, inv12, p12, l12):
+    """Radix-2^12 squaring kernel: off-diagonal products computed once and
+    doubled (products < 2^24 so doubling cannot overflow).  Column budget:
+    <= l12 phase-1 contributions + l12 reduction products, same bound as T=1.
+    """
+    L, G = n_limbs, n_groups
+    bb = out_ref.shape[-1]
+    groups = []
+    for g in range(G):
+        a12 = _repack_16_to_12([a_ref[g, i] for i in range(L)], l12)
+        zero = jnp.zeros((bb,), jnp.uint32)
+        acc = [zero] * (2 * l12 - 1)
+        for i in range(l12):
+            sq = a12[i] * a12[i]
+            acc[2 * i] = acc[2 * i] + sq
+            for j in range(i + 1, l12):
+                pr = a12[i] * a12[j]
+                acc[i + j] = acc[i + j] + pr + pr
+        rows = _r12_reduce_and_pack(
+            acc, l12=l12, inv12=inv12, p12=p12, n16=L
+        )
+        groups.append(jnp.stack(rows))
+    out_ref[:] = jnp.stack(groups)
+
+
+def _sop_kernel_reg(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv16,
+                    p_limbs):
+    """Register-resident variant: the 2L+1 lazy columns live as SSA values
+    (a Python list) instead of a VMEM scratch ref, so there are no
+    misaligned-sublane read-modify-writes — Mosaic keeps the accumulators in
+    vregs and the kernel is pure VPU ALU work.
+
+    Column bounds: each column absorbs <= 2*L*T 16-bit halves plus L 16-bit
+    halves from the reduction, so values stay far below 2^32 (see limbs.py).
+    """
+    L, T = n_limbs, n_terms
+    bb = out_ref.shape[-1]
+    zero = jnp.zeros((bb,), jnp.uint32)
+    acc = [zero] * (2 * L + 1)
+
+    # phase 1: schoolbook columns, products split lazily
+    for t in range(T):
+        b_t = [b_ref[t, j] for j in range(L)]
+        for i in range(L):
+            ai = a_ref[t, i]
+            for j in range(L):
+                prod = ai * b_t[j]
+                acc[i + j] = acc[i + j] + (prod & MASK)
+                acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+
+    # phase 2: L Montgomery rounds with scalar p limbs
+    inv = np.uint32(inv16)
+    for k in range(L):
+        m = (acc[k] * inv) & MASK
+        for j in range(L):
+            pj = np.uint32(p_limbs[j])
+            mp = m * pj
+            acc[k + j] = acc[k + j] + (mp & MASK)
+            acc[k + j + 1] = acc[k + j + 1] + (mp >> LIMB_BITS)
+        acc[k + 1] = acc[k + 1] + (acc[k] >> LIMB_BITS)
+
+    # phase 3: carry ripple over the top L+1 columns (value < 2p)
+    carry = zero
+    t_out = []
+    for k in range(L, 2 * L + 1):
+        v = acc[k] + carry
+        t_out.append(v & MASK)
+        carry = v >> LIMB_BITS
+
+    # conditional subtract p over L+1 limbs
+    borrow = zero
+    diffs = []
+    for i in range(L + 1):
+        p_i = np.uint32(p_limbs[i]) if i < L else np.uint32(0)
+        v = t_out[i] + np.uint32(1 << LIMB_BITS) - p_i - borrow
+        diffs.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    take = (borrow == 0)[None, :]
+    diff = jnp.stack(diffs[:L])
+    out_ref[:] = jnp.where(take, diff, jnp.stack(t_out[:L]))
+
+
+def _r12_params(p_limbs16):
+    """(l12, inv12, p12 limbs) for a modulus given as 16-bit limbs, or None
+    if the bit width is not a multiple of 12 (radix-12 needs R = 2^(12*l12)
+    to equal 2^(16*L))."""
+    L = len(p_limbs16)
+    if (16 * L) % 12:
+        return None
+    modulus = sum(int(x) << (16 * i) for i, x in enumerate(p_limbs16))
+    l12 = 16 * L // 12
+    inv12 = (-pow(modulus, -1, 1 << 12)) % (1 << 12)
+    p12 = tuple((modulus >> (12 * k)) & 0xFFF for k in range(l12))
+    return l12, inv12, p12
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_limbs", "inv16", "p_limbs", "block_b",
-                              "interpret")
+                              "interpret", "version")
 )
-def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=1024,
-               interpret=False):
+def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
+               interpret=False, version=3):
     """Fused sum_t a[t] * b[t] mod p over a flat batch.
 
     a_stack, b_stack: [T, L, B] uint32 (Montgomery operands, canonical limbs).
     Returns [L, B].  p_limbs must be a hashable tuple of ints.
+
+    version 3 = radix-12 raw-accumulation kernel (fastest; needs 12 | 16L and
+    T <= 6, else falls back), 2 = 16-bit register kernel, 1 = scratch-ref
+    kernel (kept for comparison benchmarks).
     """
     t, l, b = a_stack.shape
     assert l == n_limbs
-    bb = min(block_b, b)
+    bb = min(block_b, -(-b // 128) * 128)  # lane-aligned block
     pad = (-b) % bb
     if pad:
         a_stack = jnp.pad(a_stack, ((0, 0), (0, 0), (0, pad)))
         b_stack = jnp.pad(b_stack, ((0, 0), (0, 0), (0, pad)))
     bp = b + pad
 
-    kernel = functools.partial(_sop_kernel, n_limbs=l, n_terms=t, inv16=inv16)
-    p_arr = jnp.asarray(np.array(p_limbs, dtype=np.uint32).reshape(l, 1))
+    common = dict(
+        grid=(bp // bb,),
+        out_shape=jax.ShapeDtypeStruct((l, bp), jnp.uint32),
+        interpret=interpret,
+    )
+    op_specs = [
+        pl.BlockSpec((t, l, bb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, l, bb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((l, bb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    r12 = _r12_params(p_limbs) if version >= 3 else None
+    if r12 is not None and t <= 6:
+        l12, inv12, p12 = r12
+        kernel = functools.partial(
+            _sop_kernel_r12, n_limbs=l, n_terms=t, inv12=inv12, p12=p12,
+            l12=l12,
+        )
+        out = pl.pallas_call(
+            kernel, in_specs=op_specs, out_specs=out_spec, **common
+        )(a_stack, b_stack)
+    elif version >= 2:
+        kernel = functools.partial(
+            _sop_kernel_reg, n_limbs=l, n_terms=t, inv16=inv16,
+            p_limbs=tuple(int(x) for x in p_limbs),
+        )
+        out = pl.pallas_call(
+            kernel, in_specs=op_specs, out_specs=out_spec, **common
+        )(a_stack, b_stack)
+    else:
+        kernel = functools.partial(
+            _sop_kernel, n_limbs=l, n_terms=t, inv16=inv16
+        )
+        p_arr = jnp.asarray(np.array(p_limbs, dtype=np.uint32).reshape(l, 1))
+        out = pl.pallas_call(
+            kernel,
+            in_specs=op_specs
+            + [pl.BlockSpec((l, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((2 * l + 1, bb), jnp.uint32)],
+            **common,
+        )(a_stack, b_stack, p_arr)
+    return out[:, :b] if pad else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_limbs", "inv16", "p_limbs", "block_b",
+                              "interpret")
+)
+def sqr_pallas(a_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
+               interpret=False):
+    """Batched Montgomery squares over G independent groups.
+
+    a_stack: [G, L, B] uint32.  Returns [G, L, B].  Uses the radix-12
+    squaring kernel (off-diagonal products doubled) when 12 | 16L, else
+    falls back to sop_pallas with a == b per group.
+    """
+    g, l, b = a_stack.shape
+    assert l == n_limbs
+    r12 = _r12_params(p_limbs)
+    if r12 is None:
+        flat = a_stack.reshape(1, l, g * b) if g > 1 else a_stack
+        out = sop_pallas(flat, flat, n_limbs=n_limbs, inv16=inv16,
+                         p_limbs=p_limbs, block_b=block_b,
+                         interpret=interpret)
+        return out.reshape(g, l, b) if g > 1 else out
+    l12, inv12, p12 = r12
+    bb = min(block_b, -(-b // 128) * 128)  # lane-aligned block
+    pad = (-b) % bb
+    if pad:
+        a_stack = jnp.pad(a_stack, ((0, 0), (0, 0), (0, pad)))
+    bp = b + pad
+    kernel = functools.partial(
+        _sqr_kernel_r12, n_limbs=l, n_groups=g, inv12=inv12, p12=p12, l12=l12
+    )
     out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
         in_specs=[
-            pl.BlockSpec((t, l, bb), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, l, bb), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, l, bb), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((l, bb), lambda i: (0, i),
+        out_specs=pl.BlockSpec((g, l, bb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l, bp), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((2 * l + 1, bb), jnp.uint32)],
+        out_shape=jax.ShapeDtypeStruct((g, l, bp), jnp.uint32),
         interpret=interpret,
-    )(a_stack, b_stack, p_arr)
-    return out[:, :b] if pad else out
+    )(a_stack)
+    return out[:, :, :b] if pad else out

@@ -87,17 +87,32 @@ def _bcast(const: np.ndarray, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kogge_stone(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Carry-lookahead: given per-limb generate/propagate bools [K, *batch],
-    return the carry OUT of each position (log-depth associative scan instead
-    of a K-step ripple — the compile-size lever for every add/sub)."""
+    """Carry chain: given per-limb generate/propagate bools [K, *batch],
+    return the carry OUT of each position.
 
-    def op(lower, upper):
-        lg, lp = lower
-        ug, up = upper
-        return (ug | (up & lg), lp & up)
+    Implemented by packing the g/p bits of all K limbs into ONE uint32 lane
+    (K <= 31 always holds: 25 for Fp, 17 for Fr) and resolving the entire
+    chain with the packed-adder identity
 
-    out_g, _ = jax.lax.associative_scan(op, (g, p), axis=0)
-    return out_g
+        A = G | P',  S = A + G,  carry_in_bits = S ^ A ^ G
+
+    (P' = propagate-and-not-generate, so A + G emulates a 1-bit-per-limb
+    adder: limbs with g have a=b=1 and always carry out; limbs with p'
+    have a=1, b=0 and forward the incoming carry).  This is a handful of
+    flat integer ops — far cheaper to compile AND run than a log-depth
+    associative scan over the limb axis.
+    """
+    K = g.shape[0]
+    assert K <= 31, "packed carry chain requires <= 31 limbs"
+    w = jnp.asarray(np.arange(K, dtype=np.uint32)).reshape(
+        (K,) + (1,) * (g.ndim - 1)
+    )
+    G = jnp.sum(g.astype(jnp.uint32) << w, axis=0)
+    Pp = jnp.sum((p & ~g).astype(jnp.uint32) << w, axis=0)
+    A = G | Pp
+    carry_in = (A + G) ^ A ^ G  # bit k = carry INTO position k
+    carry_out = carry_in >> jnp.uint32(1)  # bit k = carry OUT of position k
+    return ((carry_out[None] >> w) & jnp.uint32(1)).astype(bool)
 
 
 def _carry_prop_1bit(s: jnp.ndarray, n_out: int) -> jnp.ndarray:
@@ -232,27 +247,31 @@ def _product_columns(a: jnp.ndarray, b: jnp.ndarray, L: int) -> jnp.ndarray:
 def _mont_reduce(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
     """Montgomery reduction of [2L+1,*batch] lazy columns -> canonical limbs.
 
-    Per round k: m = t_k * inv16 mod 2^16; add m*p into columns k..k+L;
-    propagate t_k's carry into t_{k+1}.  (The 16-bit-digit analog of the
-    reference's montgomery_reduce, fp.rs:487-562.)
+    Per round: m = t_0 * inv16 mod 2^16; add m*p into columns 0..L; forward
+    t_0's carry; shift the column window left.  (The 16-bit-digit analog of
+    the reference's montgomery_reduce, fp.rs:487-562.)  Implemented as a
+    lax.scan over a shift register so the round body — with only static
+    slice offsets — is traced and compiled exactly once.
     """
     L = spec.n_limbs
     inv16 = jnp.uint32(spec.inv16)
-    p = jnp.asarray(spec.p_limbs).reshape((L,) + (1,) * (t.ndim - 1))
+    p = _bcast(spec.p_limbs, t)  # [L, *batch]
     zero_row = jnp.zeros((1,) + t.shape[1:], dtype=jnp.uint32)
-    for k in range(L):
-        m = (t[k] * inv16) & MASK  # [*batch]
+
+    def round_fn(state, _):
+        m = (state[0] * inv16) & MASK  # [*batch]
         mp = m[None] * p  # [L, *batch]
         lo = mp & MASK
         hi = mp >> LIMB_BITS
-        add_vec = (
-            jnp.concatenate([lo, zero_row])
-            + jnp.concatenate([zero_row, hi])
-        )  # [L+1, *batch]
-        # after adding lo[0], t_k is divisible by 2^16; forward its carry
-        add_vec = add_vec.at[1].add((t[k] + lo[0]) >> LIMB_BITS)
-        t = t.at[k : k + L + 1].add(add_vec)
-    out = _carry_prop(t[L:], L + 1)
+        state = state.at[:L].add(lo)
+        state = state.at[1 : L + 1].add(hi)
+        # state[0] is now divisible by 2^16; forward its carry and drop it
+        state = state.at[1].add(state[0] >> LIMB_BITS)
+        state = jnp.concatenate([state[1:], zero_row])
+        return state, None
+
+    state, _ = jax.lax.scan(round_fn, t, None, length=L)
+    out = _carry_prop(state[: L + 1], L + 1)
     return _cond_sub_p(spec, out)
 
 
@@ -262,6 +281,21 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Canonical Montgomery square; routes to the dedicated squaring kernel
+    (off-diagonal products computed once) on TPU backends."""
+    if _use_pallas():
+        from .kernels import pallas_mont
+
+        L = spec.n_limbs
+        batch = a.shape[1:]
+        flat = int(np.prod(batch)) if batch else 1
+        out = pallas_mont.sqr_pallas(
+            a.reshape(1, L, flat),
+            n_limbs=L,
+            inv16=spec.inv16,
+            p_limbs=tuple(int(x) for x in spec.p_limbs),
+        )
+        return out.reshape((L,) + batch)
     return mont_mul(spec, a, a)
 
 
@@ -407,30 +441,48 @@ def sgn0(a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def pow_fixed(spec: FieldSpec, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
-    """a^exponent via an MSB-first scanned square-and-multiply.
+def pow_fixed(spec: FieldSpec, a: jnp.ndarray, exponent: int,
+              window: int = 4) -> jnp.ndarray:
+    """a^exponent via MSB-first fixed-window square-and-multiply.
 
     The exponent is a static Python int (public, like the reference's
-    pow_vartime schedules) so the bit schedule is a compile-time constant.
+    pow_vartime schedules and addition chains, chain.rs): the digit schedule
+    is a compile-time constant.  A 2^window-entry table turns the reference's
+    per-bit conditional multiply into one table multiply per window —
+    ~(bits/window + 2^window) muls + bits squares instead of ~bits/2 + bits.
     The schedule is zero-padded to the field's bit width so every pow of the
-    same field shares one compiled scan body (compile-time dedup).
+    same field shares one compiled scan body.
     """
     if exponent == 0:
         return jnp.broadcast_to(_bcast(spec.one_mont, a), a.shape)
     width = max(exponent.bit_length(), spec.modulus.bit_length())
-    bits = np.array(
-        [(exponent >> (width - 1 - i)) & 1 for i in range(width)],
-        dtype=np.bool_,
+    width = -(-width // window) * window
+    n_digits = width // window
+    digits = np.array(
+        [
+            (exponent >> (window * (n_digits - 1 - i))) & ((1 << window) - 1)
+            for i in range(n_digits)
+        ],
+        dtype=np.uint32,
     )
 
-    def step(acc, bit):
-        acc = mont_mul(spec, acc, acc)
-        acc = select(jnp.broadcast_to(bit, acc.shape[1:]),
-                     mont_mul(spec, acc, a), acc)
-        return acc, None
-
     one = jnp.broadcast_to(_bcast(spec.one_mont, a), a.shape)
-    acc, _ = jax.lax.scan(step, one, jnp.asarray(bits))
+    table = [one, jnp.broadcast_to(a, one.shape)]
+    for _ in range(2, 1 << window):
+        table.append(mont_mul(spec, table[-1], a))
+    table_arr = jnp.stack(table)  # [2^w, L, *batch]
+
+    def step(acc, digit):
+        for _ in range(window):
+            acc = mont_sqr(spec, acc)
+        sel = table_arr
+        for b in range(window - 1, -1, -1):
+            bit = ((digit >> np.uint32(b)) & np.uint32(1)).astype(bool)
+            half = sel.shape[0] // 2
+            sel = jnp.where(bit, sel[half:], sel[:half])
+        return mont_mul(spec, acc, sel[0]), None
+
+    acc, _ = jax.lax.scan(step, one, jnp.asarray(digits))
     return acc
 
 

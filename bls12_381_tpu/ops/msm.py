@@ -159,10 +159,12 @@ def _msm_curve(curve_mod, points_proj, scalars_mont, c: int):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("c",))
 def msm_g1(points_proj, scalars_mont, c: int = 8):
     """sum_i [s_i] P_i over G1; equals the fold of serial scalar-muls."""
     return _msm_curve(G1, points_proj, scalars_mont, c)
 
 
+@functools.partial(jax.jit, static_argnames=("c",))
 def msm_g2(points_proj, scalars_mont, c: int = 8):
     return _msm_curve(G2, points_proj, scalars_mont, c)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,29 +38,36 @@ def _twiddle_table(log_n: int, inverse: bool):
     root = pow(params.FR_ROOT_OF_UNITY, 1 << (params.FR_S - log_n), params.Q)
     if inverse:
         root = pow(root, params.Q - 2, params.Q)
+    r = 1 << (16 * FR.n_limbs)
     stages = []
     for s in range(1, log_n + 1):
         m = 1 << s
         w_m = pow(root, n // m, params.Q)
         half = m // 2
-        tw = [pow(w_m, j, params.Q) for j in range(half)]
+        tw = [pow(w_m, j, params.Q) * r % params.Q for j in range(half)]
         # butterflies at stage s: groups of m; lane layout [n//m, half]
-        stage = np.tile(np.array(tw, dtype=object), n // m)
-        stages.append(stage)
-    arr = np.stack(stages)  # [log_n, N/2] object ints
-    return np.asarray(fr.from_ints(arr))  # [L, log_n, N/2]
+        stages.append(tw * (n // m))
+    # pure numpy (callable under jit/shard_map tracing): [L, log_n, N/2]
+    out = np.zeros((FR.n_limbs, log_n, n // 2), dtype=np.uint32)
+    for s, stage in enumerate(stages):
+        for j, v in enumerate(stage):
+            out[:, s, j] = params.to_limbs(v, FR.n_limbs)
+    return out
 
 
 @functools.lru_cache(maxsize=None)
 def _bit_reverse_perm(log_n: int):
+    # pure numpy: safe to cache across traces (a cached jnp array created
+    # inside one jit trace would leak into later ones)
     n = 1 << log_n
     idx = np.arange(n)
     rev = np.zeros(n, dtype=np.int64)
     for b in range(log_n):
         rev |= ((idx >> b) & 1) << (log_n - 1 - b)
-    return jnp.asarray(rev)
+    return rev
 
 
+@functools.partial(jax.jit, static_argnames=("inverse", "_skip_scale"))
 def ntt(coeffs, inverse: bool = False, _skip_scale: bool = False):
     """In-order radix-2 NTT of an Fr batch [L, *batch, N] (N a power of two).
 

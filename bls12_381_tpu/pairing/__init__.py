@@ -7,3 +7,5 @@ from .pairing import (  # noqa: F401
     pairing_batched,
     prepare_g2,
 )
+
+from . import gt  # noqa: F401

@@ -141,6 +141,7 @@ def _unpack_fp2(arr):
     return (arr[0], arr[1])
 
 
+@jax.jit
 def prepare_g2(q_aff) -> G2Prepared:
     """Compute the 68 line-coefficient triples for an affine G2 batch.
 
@@ -181,6 +182,7 @@ def prepare_g2(q_aff) -> G2Prepared:
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def miller_loop_batched(p_aff, prep: G2Prepared):
     """f_{|z|,Q}(P) (conjugated for z < 0) for batches of G1 points and
     prepared G2 coefficients.  One uniform 68-step scan.
@@ -225,6 +227,7 @@ def miller_loop_batched(p_aff, prep: G2Prepared):
     return tw.fp12_conjugate(f)
 
 
+@jax.jit
 def multi_miller_loop(p_affs, prep: G2Prepared):
     """Product of Miller values over the leading batch axis (the shared-
     accumulator semantics of pairings.rs:554-603; same value, computed as a
@@ -284,6 +287,7 @@ def _exp_z(f):
     return tw.fp12_conjugate(_cyclotomic_exp_u(f))
 
 
+@jax.jit
 def final_exponentiation(f):
     """f^((p^12-1)/q * 3) — the reference-compatible final exponentiation
     (cofactor-3 hard part; validated against RELIC in tests)."""
@@ -314,6 +318,7 @@ def final_exponentiation(f):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def pairing(p_aff, q_aff):
     """e(P, Q) for batches of affine points (pairings.rs:607-653)."""
     return final_exponentiation(miller_loop_batched(p_aff, prepare_g2(q_aff)))

@@ -15,6 +15,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        # fall back to virtual host devices (e.g. asking for an 8-way mesh on
+        # a 1-chip box with xla_force_host_platform_device_count set)
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n:
+                devs = cpu
+        except RuntimeError:
+            pass
     return Mesh(np.array(devs[:n]), (axis,))
 
 

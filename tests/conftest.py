@@ -1,29 +1,34 @@
-"""Test configuration: force CPU JAX with an 8-device virtual mesh.
+"""Test configuration.
 
-Device-layer tests run on CPU for bit-exactness checking; multi-chip sharding
-tests use 8 virtual host devices (the driver separately dry-runs the multichip
-path via __graft_entry__.dryrun_multichip).
+Platform strategy:
+  - Single-chip device tests run on the default platform — the real TPU when
+    present (also exercising the Pallas kernels), CPU otherwise.  Results are
+    bit-exact either way; XLA CPU compiles the big field/curve graphs orders
+    of magnitude slower than the TPU toolchain, so we do NOT force CPU.
+  - Multi-chip sharding tests always use an 8-device virtual CPU mesh
+    (XLA_FLAGS host platform device count), with the Pallas path disabled
+    (fixture below) since those kernels only lower for TPU.
+
+A persistent compilation cache makes repeated runs cheap.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere: 8 virtual CPU devices for the
+# multi-chip tests (they coexist with the TPU platform).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Some PJRT plugins (e.g. the axon TPU tunnel) override JAX_PLATFORMS; the
-# config update below wins regardless.
 import jax
+import pytest
 
-jax.config.update("jax_platforms", "cpu")
-
-# Persistent compilation cache: the big tower/pairing graphs compile in
-# minutes on the CPU backend; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/bls12_381_tpu_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("BLS12_381_TPU_JAX_CACHE", "/root/.cache/bls12381_jax"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import pathlib
@@ -32,3 +37,27 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 VECTORS = pathlib.Path(__file__).resolve().parent / "vectors"
+
+
+def cpu_devices(n: int = 8):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} virtual CPU devices, have {len(devs)}")
+    return devs[:n]
+
+
+@pytest.fixture
+def cpu_mesh_8():
+    """8-device virtual CPU mesh with the Pallas kernel path disabled (the
+    kernels only lower for TPU; the jnp fallback is bit-exact)."""
+    import numpy as np
+
+    from bls12_381_tpu import limbs as lb
+    from jax.sharding import Mesh
+
+    lb.set_pallas(False)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            yield Mesh(np.array(cpu_devices(8)), ("x",))
+    finally:
+        lb.set_pallas(None)

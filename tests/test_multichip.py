@@ -24,11 +24,11 @@ random.seed(17)
 
 
 def test_eight_virtual_devices():
-    assert len(jax.devices()) == 8
+    assert len(jax.devices("cpu")) == 8
 
 
-def test_msm_sharded_matches_local():
-    mesh = mesh_mod.make_mesh(8)
+def test_msm_sharded_matches_local(cpu_mesh_8):
+    mesh = cpu_mesh_8
     n = 32
     ks = [random.randrange(Q) for _ in range(n)]
     host_pts = [hm.g1_mul(G1_GEN, i + 1) for i in range(n)]
@@ -48,8 +48,8 @@ def test_msm_sharded_matches_local():
     assert int(fp.to_ints(aff_l[1])) == int(fp.to_ints(aff_s[1]))
 
 
-def test_ntt_sharded_matches_local():
-    mesh = mesh_mod.make_mesh(8)
+def test_ntt_sharded_matches_local(cpu_mesh_8):
+    mesh = cpu_mesh_8
     n = 64
     coeffs = [random.randrange(Q) for _ in range(n)]
     enc = fr.from_ints(coeffs)
@@ -63,8 +63,8 @@ def test_ntt_sharded_matches_local():
     assert [int(v) for v in fr.to_ints(back)] == coeffs
 
 
-def test_pairing_sharded_aggregate():
-    mesh = mesh_mod.make_mesh(8)
+def test_pairing_sharded_aggregate(cpu_mesh_8):
+    mesh = cpu_mesh_8
     b = 8
     phs = [hm.g1_mul(G1_GEN, i + 1) for i in range(b)]
     qhs = [hm.g2_mul(G2_GEN, 2 * i + 1) for i in range(b)]

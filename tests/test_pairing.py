@@ -106,6 +106,25 @@ def test_bilinearity_on_device():
         assert dec12_at(res, i) == hm.fp12_pow(base, AV[i] * BV[i] % Q), i
 
 
+def test_gt_group_ops():
+    """Additive Gt API (pairings.rs:204-337): generator, add/neg/double,
+    scalar mul vs e([k]P, Q)."""
+    from bls12_381_tpu.fields import fr
+    from bls12_381_tpu.pairing import gt
+
+    g = gt.generator()
+    assert dec12_scalar(g) == hm.pairing(G1_GEN, G2_GEN)
+    assert np.asarray(gt.is_identity(gt.sub(g, g))).all()
+    assert np.asarray(tw.fp12_eq(gt.double(g), gt.add(g, g))).all()
+    k = 987654321987654321
+    got = gt.scalar_mul(g, fr.from_ints([k]))
+    exp = hm.pairing(hm.g1_mul(G1_GEN, k), G2_GEN)
+    flat = tw.fp12_to_host(got)
+    assert tuple(
+        tuple((int(c2[0][0]), int(c2[1][0])) for c2 in c6) for c6 in flat
+    ) == exp
+
+
 def test_cyclotomic_square_matches_full_square():
     """GS cyclotomic squaring == full squaring on cyclotomic elements."""
     from bls12_381_tpu.fields import tower as tw
