@@ -74,9 +74,35 @@ def generator_affine(batch=()):
 
 @jax.jit
 def scalar_mul(p, scalars_mont):
-    """[s]P for a batch of Montgomery-form Fr scalars — 4-bit fixed-window
-    schedule (the batched analog of g1.rs:754-774 with the wNAF-style window
-    sizing of g1.rs:989-1005)."""
+    """[s]P via the GLV endomorphism split (beyond-reference optimization).
+
+    phi(x:y:z) = (beta*x : y : z) acts as multiplication by -z^2 on the
+    subgroup (g1.rs:401-410), so s = k1 + k2*z^2 (a 255-bit division by the
+    public constant z^2) lets [s]P = [k1]P + [k2](-phi(P)) run with shared
+    doublings over two ~128-bit mini-scalars: 128 doublings instead of 255.
+
+    Valid for points in the prime-order subgroup (where Fr scalars act);
+    use scalar_mul_generic for arbitrary curve points.
+    """
+    from .. import limbs
+
+    zsq = params.BLS_X ** 2  # z^2 (positive, ~2^127.3)
+    canon = limbs.from_mont(FR, scalars_mont)  # [16, *batch]
+    k2, k1 = limbs.barrett_divmod(canon, zsq, 9)
+
+    # [zsq]P = -phi(P) = (beta*x : -y : z)
+    batch = p[0].shape[1:]
+    beta = fp.const(BETA, batch)
+    p2 = (fp.mul(beta, p[0]), fp.neg(p[1]), p[2])
+    d1 = limbs.digits4_msb(k1, 128)
+    d2 = limbs.digits4_msb(k2, 128)
+    return CURVE.multi_scalar_mul_windowed([p, p2], [d1, d2])
+
+
+@jax.jit
+def scalar_mul_generic(p, scalars_mont):
+    """[s]P by plain 4-bit windows (g1.rs:754-774 semantics: multiplies by
+    the canonical integer < q, valid for ANY curve point)."""
     return CURVE.scalar_mul_windowed(p, fr_digits4_msb(scalars_mont))
 
 

@@ -72,7 +72,45 @@ def generator_affine(batch=()):
 
 @jax.jit
 def scalar_mul(p, scalars_mont):
-    """4-bit fixed-window scalar multiplication (see g1.scalar_mul)."""
+    """[s]P via the 4-way GLS endomorphism split (beyond-reference).
+
+    psi acts as multiplication by z on the subgroup (g2.rs:475-482), so
+    writing s = c0 + c1|z| + c2|z|^2 + c3|z|^3 (base-|z| digits via Barrett
+    division; each c_i < 2^64) gives
+
+        [s]P = [c0]P + [c1](-psi(P)) + [c2]psi^2(P) + [c3](-psi^3(P))
+
+    (signs because z = -|z|), evaluated with SHARED doublings over four
+    64-bit mini-scalars: 64 doublings instead of 255.  Valid on the
+    prime-order subgroup; use scalar_mul_generic for arbitrary points.
+    """
+    from .. import limbs
+
+    x = params.BLS_X
+    canon = limbs.from_mont(_g1.FR, scalars_mont)  # [16, *batch]
+    q3, r3 = limbs.barrett_divmod(canon, x**3, 5)   # c3 < |z| < 2^64
+    q2, r2 = limbs.barrett_divmod(r3, x**2, 5)
+    q1, c0 = limbs.barrett_divmod(r2, x, 5)
+
+    p1 = p
+    pp = psi(p)
+    p2 = CURVE.neg(pp)               # [|z|]P
+    p3 = psi(pp)                     # [|z|^2]P
+    p4 = CURVE.neg(psi(p3))          # [|z|^3]P
+    digits = [
+        limbs.digits4_msb(c0, 64),
+        limbs.digits4_msb(q1, 64),
+        limbs.digits4_msb(q2, 64),
+        limbs.digits4_msb(q3, 64),
+    ]
+    return CURVE.multi_scalar_mul_windowed(
+        [p1, p2, p3, p4], digits
+    )
+
+
+@jax.jit
+def scalar_mul_generic(p, scalars_mont):
+    """[s]P by plain 4-bit windows (valid for ANY curve point)."""
     return CURVE.scalar_mul_windowed(p, _g1.fr_digits4_msb(scalars_mont))
 
 

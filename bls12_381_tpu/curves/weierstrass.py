@@ -244,6 +244,51 @@ class Weierstrass:
         acc, _ = jax.lax.scan(step, self.identity(f.batch_of(p[0])), digits)
         return acc
 
+    def multi_scalar_mul_windowed(self, points, digits_list, window: int = 4):
+        """sum_i [k_i] P_i with SHARED doublings (Straus/interleaved windows):
+        one pass of n_digit steps, each = `window` doublings + one table add
+        per point.  This is the engine behind the GLV/GLS endomorphism-split
+        scalar multiplications (digits_list entries may have different
+        lengths; shorter ones are processed only in the trailing steps).
+        """
+        f = self.f
+        m = 1 << window
+        batch = f.batch_of(points[0][0])
+        tables = []
+        for p in points:
+            tbl = [self.identity(batch), p]
+            for _ in range(2, m):
+                tbl.append(self.add(tbl[-1], p))
+            tables.append(jax.tree.map(lambda *xs: jnp.stack(xs), *tbl))
+
+        def lookup(table, digit):
+            def take(leaf):
+                idx = digit[(None,) * (leaf.ndim - digit.ndim) + (...,)]
+                idx = jnp.broadcast_to(idx, (1,) + leaf.shape[1:])
+                return jnp.take_along_axis(leaf, idx, axis=0)[0]
+
+            return jax.tree.map(take, table)
+
+        n_steps = max(d.shape[0] for d in digits_list)
+        padded = []
+        for d in digits_list:
+            if d.shape[0] < n_steps:
+                pad = jnp.zeros((n_steps - d.shape[0],) + d.shape[1:],
+                                dtype=d.dtype)
+                d = jnp.concatenate([pad, d])
+            padded.append(d)
+        stacked = jnp.stack(padded, axis=1)  # [n_steps, n_points, *batch]
+
+        def step(acc, digs):
+            for _ in range(window):
+                acc = self.double(acc)
+            for i, tbl in enumerate(tables):
+                acc = self.add(acc, lookup(tbl, digs[i]))
+            return acc, None
+
+        acc, _ = jax.lax.scan(step, self.identity(batch), stacked)
+        return acc
+
     def mul_by_const(self, p, k: int, n_bits: int | None = None):
         """Multiply by a static public integer (fixed bit schedule; the analog
         of mul_by_x, g1.rs:777-795).  Negative k negates the result."""

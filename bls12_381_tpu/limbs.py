@@ -103,7 +103,15 @@ def _kogge_stone(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     associative scan over the limb axis.
     """
     K = g.shape[0]
-    assert K <= 31, "packed carry chain requires <= 31 limbs"
+    if K > 31:
+        # wide intermediates (Barrett products): log-depth associative scan
+        def op(lower, upper):
+            lg, lp = lower
+            ug, up = upper
+            return (ug | (up & lg), lp & up)
+
+        out_g, _ = jax.lax.associative_scan(op, (g, p), axis=0)
+        return out_g
     w = jnp.asarray(np.arange(K, dtype=np.uint32)).reshape(
         (K,) + (1,) * (g.ndim - 1)
     )
@@ -402,6 +410,81 @@ def sop_fold(spec: FieldSpec, groups):
 def mul_many(spec: FieldSpec, pairs):
     """Independent products a_i * b_i folded into one batched reduction."""
     return sop_fold(spec, [[p] for p in pairs])
+
+
+# ---------------------------------------------------------------------------
+# Plain (non-modular) integer helpers — used by GLV/GLS scalar decomposition
+# ---------------------------------------------------------------------------
+
+
+def plain_mul_const(a: jnp.ndarray, const: int, n_out: int) -> jnp.ndarray:
+    """Exact integer product of a limb tensor with a static nonnegative int,
+    truncated to n_out 16-bit limbs (i.e. mod 2^(16*n_out))."""
+    assert const >= 0
+    n = a.shape[0]
+    m = params.to_limbs(const, max(const.bit_length() + 15, 16) // 16)
+    L = max(n, len(m))
+    a_pad = _pad_rows(a, L)
+    m_arr = np.zeros(L, dtype=np.uint32)
+    m_arr[: len(m)] = m
+    cols = _product_columns(a_pad, _bcast(m_arr, a_pad), L)
+    return _carry_prop(cols, n_out)
+
+
+def shift_right_limbs(a: jnp.ndarray, n_limbs: int) -> jnp.ndarray:
+    """Drop the low n_limbs 16-bit limbs (a >> 16*n_limbs)."""
+    return a[n_limbs:]
+
+
+def plain_sub(a: jnp.ndarray, b: jnp.ndarray, n: int):
+    """Exact a - b over n limbs; returns (diff, borrow_mask)."""
+    diff, borrow = _sub_limbs(_pad_rows(a, n), _pad_rows(b, n), n)
+    return diff, borrow != 0
+
+
+def plain_geq(a: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
+    """a >= b over n limbs."""
+    _, borrow = _sub_limbs(_pad_rows(a, n), _pad_rows(b, n), n)
+    return borrow == 0
+
+
+def barrett_divmod(a: jnp.ndarray, d: int, q_limbs: int):
+    """(floor(a/d), a mod d) for an n-limb tensor and a static divisor d.
+
+    Precomputes M = floor(2^(16n)/d); q_hat = floor(a*M / 2^(16n)) is within
+    one of the true quotient (error < a/2^(16n) < 1), fixed by one masked
+    correction.  Returns (q [q_limbs, *batch], r [n, *batch])."""
+    n = a.shape[0]
+    m_const = (1 << (16 * n)) // d
+    prod = plain_mul_const(a, m_const, n + q_limbs)
+    q = shift_right_limbs(prod, n)  # [q_limbs, *batch]
+    qd = plain_mul_const(q, d, n)
+    r, _ = plain_sub(a, qd, n)  # exact: q*d <= a
+    d_arr = _bcast(np.array(params.to_limbs(d, n), dtype=np.uint32), r)
+    too_big = plain_geq(r, d_arr, n)
+    r_fix, _ = plain_sub(r, d_arr, n)
+    r = select(too_big, r_fix, r)
+    bump = jnp.concatenate(
+        [jnp.ones((1,) + q.shape[1:], jnp.uint32),
+         jnp.zeros((q_limbs - 1,) + q.shape[1:], jnp.uint32)]
+    )
+    q_fix = _carry_prop_1bit(q + bump, q_limbs)
+    q = select(too_big, q_fix, q)
+    return q, r
+
+
+def digits4_msb(limbs_tensor: jnp.ndarray, n_bits: int) -> jnp.ndarray:
+    """[n, *batch] 16-bit limbs -> [ceil(n_bits/4), *batch] int32 4-bit
+    digits, MSB first."""
+    n_digits = -(-n_bits // 4)
+    rows = []
+    for d in range(n_digits - 1, -1, -1):
+        limb = d // 4
+        rows.append(
+            ((limbs_tensor[limb] >> jnp.uint32(4 * (d % 4)))
+             & jnp.uint32(15)).astype(jnp.int32)
+        )
+    return jnp.stack(rows)
 
 
 # ---------------------------------------------------------------------------

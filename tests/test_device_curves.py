@@ -138,6 +138,24 @@ class TestG1:
         assert not ok.any()
 
 
+def test_glv_gls_edge_scalars():
+    """GLV (G1) and GLS (G2) endomorphism-split scalar muls vs the host
+    oracle on edge scalars (0, 1, q-1, z^2 boundaries)."""
+    from bls12_381_tpu.params import BLS_X
+
+    ks = [0, 1, Q - 1, BLS_X**2 - 1, BLS_X**2, BLS_X**2 + 1, BLS_X**3, 12345]
+    n = len(ks)
+    enc = fr.from_ints(ks)
+    out = g1.to_affine(g1.scalar_mul(g1.generator((n,)), enc))
+    exp = [hm.g1_mul(G1_GEN, k) for k in ks]
+    assert g1_dec(out) == exp
+    gen = g1.generator((n,))
+    out_g = g1.to_affine(g1.scalar_mul_generic(gen, enc))
+    assert g1_dec(out_g) == exp
+    out2 = g2.to_affine(g2.scalar_mul(g2.generator((n,)), enc))
+    assert g2_dec(out2) == [hm.g2_mul(G2_GEN, k) for k in ks]
+
+
 class TestG2:
     def test_double_scalar_mul(self):
         gen = g2.generator((B,))

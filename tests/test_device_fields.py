@@ -270,3 +270,40 @@ def test_pallas_sop_kernel_interpret():
         interpret=True,
     )
     assert [int(v) for v in fp.to_ints(got)] == [int(v) for v in ref]
+
+
+def test_pallas_kernel_versions_and_sqr_interpret():
+    """All kernel variants (scratch-ref v1, 16-bit register v2, radix-12 v3)
+    and the dedicated squaring kernel agree bit-exactly on random and edge
+    values (0, 1, p-1) in interpret mode."""
+    import jax.numpy as jnp
+
+    from bls12_381_tpu.kernels import pallas_mont
+
+    vals_a = [0, 1, P - 1, P - 2] + rints(28, P)
+    vals_b = [P - 1, 0, P - 1, 1] + rints(28, P)
+    a = fp.from_ints(vals_a)[None]
+    b = fp.from_ints(vals_b)[None]
+    kw = dict(
+        n_limbs=lb.FP.n_limbs,
+        inv16=lb.FP.inv16,
+        p_limbs=tuple(int(x) for x in lb.FP.p_limbs),
+        block_b=32,
+        interpret=True,
+    )
+    outs = [
+        np.asarray(pallas_mont.sop_pallas(a, b, version=v, **kw))
+        for v in (1, 2, 3)
+    ]
+    assert np.array_equal(outs[0], outs[1]) and np.array_equal(outs[1], outs[2])
+    got = [int(v) for v in fp.to_ints(jnp.asarray(outs[2]))]
+    assert got == [x * y % P for x, y in zip(vals_a, vals_b)]
+    sq = np.asarray(
+        pallas_mont.sqr_pallas(
+            a, n_limbs=lb.FP.n_limbs, inv16=lb.FP.inv16,
+            p_limbs=tuple(int(x) for x in lb.FP.p_limbs), block_b=32,
+            interpret=True,
+        )
+    )
+    mm = np.asarray(pallas_mont.sop_pallas(a, a, version=3, **kw))
+    assert np.array_equal(sq[0], mm)
