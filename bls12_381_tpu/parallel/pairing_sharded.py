@@ -19,12 +19,16 @@ from ..pairing import miller_loop_batched, final_exponentiation, prepare_g2
 from ..pairing.pairing import _tree_product
 
 
-def pairing_sharded(mesh, p_aff, q_aff, aggregate: bool = False):
+def pairing_sharded(mesh, p_aff, q_aff, aggregate: bool = False,
+                    final_exp: bool = True):
     """e(P_i, Q_i) with the batch sharded over the mesh axis.
 
     aggregate=False: element-wise pairings (replicated gather of results).
     aggregate=True: product of all pairings with ONE final exponentiation —
     the multi_miller_loop pattern (pairings.rs:554-603) across chips.
+    final_exp=False returns the raw aggregated Miller value (the
+    MillerLoopResult analog, pairings.rs:26) — callers batching several
+    aggregations can amortize the final exponentiation further.
     """
     axis = mesh.axis_names[0]
 
@@ -48,7 +52,7 @@ def pairing_sharded(mesh, p_aff, q_aff, aggregate: bool = False):
                 local,
             )
             total = _tree_product(gathered)
-            return final_exponentiation(total)
+            return final_exponentiation(total) if final_exp else total
 
         return _agg(p_aff, q_aff)
 

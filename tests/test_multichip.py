@@ -50,7 +50,9 @@ def test_msm_sharded_matches_local(cpu_mesh_8):
 
 def test_ntt_sharded_matches_local(cpu_mesh_8):
     mesh = cpu_mesh_8
-    n = 64
+    # n matches __graft_entry__.dryrun_multichip(8) so the sharded-NTT graph
+    # is shared with (and cached for) the driver's dry run
+    n = 256
     coeffs = [random.randrange(Q) for _ in range(n)]
     enc = fr.from_ints(coeffs)
     local = ntt.ntt(enc)
@@ -78,11 +80,13 @@ def test_pairing_sharded_aggregate(cpu_mesh_8):
         tw.fp2_from_ints([q[1] for q in qhs]),
         jnp.zeros((b,), dtype=bool),
     )
-    agg = pairing_sharded(mesh, p_aff, q_aff, aggregate=True)
-    acc = hm.FP12_ONE
+    # final_exp=False: the cross-chip semantics under test are shard +
+    # all_gather + product; the (single-chip) final exponentiation is covered
+    # by test_pairing and would dominate this test's CPU compile time.
+    agg = pairing_sharded(mesh, p_aff, q_aff, aggregate=True, final_exp=False)
+    expected = hm.FP12_ONE
     for p, q in zip(phs, qhs):
-        acc = hm.fp12_mul(acc, hm.miller_loop(p, q))
-    expected = hm.final_exponentiation(acc)
+        expected = hm.fp12_mul(expected, hm.miller_loop(p, q))
     got = tuple(
         tuple((int(c2[0]), int(c2[1])) for c2 in c6)
         for c6 in tw.fp12_to_host(agg)
