@@ -291,6 +291,8 @@ def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
     """
     t, l, b = a_stack.shape
     assert l == n_limbs
+    if b == 0:  # zero-length batches appear inside scan/odd-split internals
+        return jnp.zeros((l, 0), jnp.uint32)
     bb = min(block_b, -(-b // 128) * 128)  # lane-aligned block
     pad = (-b) % bb
     if pad:
@@ -358,6 +360,8 @@ def sqr_pallas(a_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
     """
     g, l, b = a_stack.shape
     assert l == n_limbs
+    if b == 0:
+        return jnp.zeros((g, l, 0), jnp.uint32)
     r12 = _r12_params(p_limbs)
     if r12 is None:
         flat = a_stack.reshape(1, l, g * b) if g > 1 else a_stack

@@ -83,12 +83,15 @@ def test_pairing_sharded_aggregate(cpu_mesh_8):
     # final_exp=False: the cross-chip semantics under test are shard +
     # all_gather + product; the (single-chip) final exponentiation is covered
     # by test_pairing and would dominate this test's CPU compile time.
+    # Raw Miller values carry projective line-scaling factors that only the
+    # final exponentiation kills, so the reference here is the DEVICE
+    # single-chip multi_miller_loop (bit-exact across platforms), not the
+    # host oracle.
+    from bls12_381_tpu import pairing as pr
+
     agg = pairing_sharded(mesh, p_aff, q_aff, aggregate=True, final_exp=False)
-    expected = hm.FP12_ONE
-    for p, q in zip(phs, qhs):
-        expected = hm.fp12_mul(expected, hm.miller_loop(p, q))
-    got = tuple(
-        tuple((int(c2[0]), int(c2[1])) for c2 in c6)
-        for c6 in tw.fp12_to_host(agg)
-    )
-    assert got == expected
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = pr.multi_miller_loop(p_aff, pr.prepare_g2(q_aff))
+    got = np.stack([np.asarray(c) for c6 in agg for c2 in c6 for c in c2])
+    exp = np.stack([np.asarray(c) for c6 in ref for c2 in c6 for c in c2])
+    assert np.array_equal(got, exp)

@@ -59,9 +59,9 @@ def test_hard_part_digits_exact():
 
 def test_prepared_coeff_count():
     """68 line-coefficient triples per prepared point (pairings.rs:539)."""
-    assert pr.pairing.__module__  # module exists
-    from bls12_381_tpu.pairing import pairing as pmod
+    import importlib
 
+    pmod = importlib.import_module("bls12_381_tpu.pairing.pairing")
     assert pmod.N_COEFFS == 68
     assert pmod.N_DOUBLING_STEPS == 63
 
