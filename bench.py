@@ -104,43 +104,50 @@ def _full_suite(B, a_d, b_d):
     from bls12_381_tpu.curves import g1 as G1
     from bls12_381_tpu.fields import fr, tower as tw
 
-    extra = {}
-    extra["fp_sqr/s"] = round(
-        B / _chain_rate(lambda x, _: lb.mont_sqr(lb.FP, x), a_d, b_d)
-    )
-    extra["fp_add/s"] = round(
-        B / _chain_rate(lambda x, y: lb.add(lb.FP, x, y), a_d, b_d)
-    )
+    import importlib
 
-    # tower: Fp2 mul at batch 2^14 (BASELINE config 2)
+    extra = {}
+
+    def emit(key, val):
+        extra[key] = val
+        print(json.dumps({key: val}), file=sys.stderr, flush=True)
+
+    emit("fp_sqr/s", round(
+        B / _chain_rate(lambda x, _: lb.mont_sqr(lb.FP, x), a_d, b_d)
+    ))
+    emit("fp_add/s", round(
+        B / _chain_rate(lambda x, y: lb.add(lb.FP, x, y), a_d, b_d)
+    ))
+
+    # tower: Fp2 mul at batch 2^14 (BASELINE config 2); fp2 = (c0, c1) tuple
     B2 = 1 << 14
     rng = np.random.RandomState(1)
-    x2 = jnp.stack([_rand_fp(rng, lb.FP.n_limbs, B2) for _ in range(2)], 1)
-    y2 = jnp.stack([_rand_fp(rng, lb.FP.n_limbs, B2) for _ in range(2)], 1)
-    extra["fp2_mul/s"] = round(
+    x2 = (_rand_fp(rng, lb.FP.n_limbs, B2), _rand_fp(rng, lb.FP.n_limbs, B2))
+    y2 = (_rand_fp(rng, lb.FP.n_limbs, B2), _rand_fp(rng, lb.FP.n_limbs, B2))
+    emit("fp2_mul/s", round(
         B2 / _chain_rate(lambda u, v: tw.fp2_mul(u, v), x2, y2)
-    )
+    ))
 
     # G1 double/add at batch 2^12 (benches/groups.rs workloads, config 3)
     B3 = 1 << 12
     pts = G1.generator((B3,))
-    extra["g1_double/s"] = round(
+    emit("g1_double/s", round(
         B3
         / _chain_rate(
             lambda p, _: G1.CURVE.double(p), pts, jnp.zeros(()), n1=16, n2=64
         )
-    )
-    extra["g1_add/s"] = round(
+    ))
+    emit("g1_add/s", round(
         B3
         / _chain_rate(lambda p, q: G1.CURVE.add(p, q), pts, pts, n1=16, n2=64)
-    )
+    ))
 
     # G1 scalar mul batch 2^10 (single dispatch)
     B4 = 1 << 10
     ks = fr.from_ints(list(np.random.RandomState(2).randint(1, 1 << 62, B4)))
     smul = _tiny_out(lambda p, k: G1.scalar_mul(p, k))
     t = _time_fetch(smul, G1.generator((B4,)), ks)
-    extra["g1_scalar_mul/s (batch 2^10)"] = round(B4 / t, 1)
+    emit("g1_scalar_mul/s (batch 2^10)", round(B4 / t, 1))
 
     # MSM 2^16 (BASELINE config 4)
     from bls12_381_tpu.ops import msm as msm_mod
@@ -149,7 +156,7 @@ def _full_suite(B, a_d, b_d):
     ks5 = fr.from_ints(list(np.random.RandomState(3).randint(1, 1 << 62, B5)))
     msm_fn = _tiny_out(lambda p, k: msm_mod.msm_g1(p, k, c=8))
     t = _time_fetch(msm_fn, G1.generator((B5,)), ks5, reps=2)
-    extra["msm_g1_2^16_s"] = round(t, 3)
+    emit("msm_g1_2^16_s", round(t, 3))
 
     # NTT 2^20 (BASELINE config 4)
     from bls12_381_tpu.ops import ntt as ntt_mod
@@ -158,25 +165,25 @@ def _full_suite(B, a_d, b_d):
     coeffs = fr.from_ints(list(np.random.RandomState(4).randint(0, 1 << 62, N)))
     ntt_fn = _tiny_out(ntt_mod.ntt)
     t = _time_fetch(ntt_fn, coeffs, reps=2)
-    extra["ntt_2^20_s"] = round(t, 3)
+    emit("ntt_2^20_s", round(t, 3))
 
     # pairing stages, batch 64 (benches/groups.rs:15-29; config 5)
-    from bls12_381_tpu.pairing import pairing as pr_mod
+    pr_mod = importlib.import_module("bls12_381_tpu.pairing.pairing")
     import __graft_entry__ as ge
 
     p_aff, q_aff = ge._tiny_pairing_inputs(64)
     t = _time_fetch(_tiny_out(lambda q: pr_mod.prepare_g2(q).coeffs), q_aff)
-    extra["g2_prepare/s (batch 64)"] = round(64 / t, 1)
+    emit("g2_prepare/s (batch 64)", round(64 / t, 1))
     prep = pr_mod.prepare_g2(q_aff)
     t = _time_fetch(
         _tiny_out(lambda p, pr: pr_mod.miller_loop_batched(p, pr)), p_aff, prep
     )
-    extra["miller_loop/s (batch 64)"] = round(64 / t, 1)
+    emit("miller_loop/s (batch 64)", round(64 / t, 1))
     f = pr_mod.miller_loop_batched(p_aff, prep)
     t = _time_fetch(_tiny_out(pr_mod.final_exponentiation), f)
-    extra["final_exp/s (batch 64)"] = round(64 / t, 1)
+    emit("final_exp/s (batch 64)", round(64 / t, 1))
     t = _time_fetch(_tiny_out(pr_mod.pairing), p_aff, q_aff)
-    extra["pairing/s (batch 64)"] = round(64 / t, 1)
+    emit("pairing/s (batch 64)", round(64 / t, 1))
 
     # hash_to_curve G1, device expansion, batch 256 (benches/hash_to_curve.rs)
     from bls12_381_tpu.hash_to_curve import h2c
@@ -190,7 +197,7 @@ def _full_suite(B, a_d, b_d):
         ),
         msgs,
     )
-    extra["hash_to_curve_g1/s (batch 256)"] = round(256 / t, 1)
+    emit("hash_to_curve_g1/s (batch 256)", round(256 / t, 1))
     print(json.dumps(extra), file=sys.stderr)
 
 

@@ -40,8 +40,9 @@ def hash_to_field_fp(msgs, dst, count, expand=hm.expand_message_xmd, **kw):
 
 
 def _msgs_to_array(msgs):
-    """Equal-length list of bytes -> [B, msg_len] uint8."""
-    if isinstance(msgs, np.ndarray):
+    """Equal-length list of bytes -> [B, msg_len] uint8 (arrays — including
+    traced ones — pass through)."""
+    if hasattr(msgs, "shape"):
         return msgs
     lens = {len(m) for m in msgs}
     assert len(lens) == 1, "device expansion needs equal-length messages"

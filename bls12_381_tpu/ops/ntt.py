@@ -26,44 +26,38 @@ from ..fields import fr
 from ..limbs import FR
 
 
-@functools.lru_cache(maxsize=None)
-def _twiddle_table(log_n: int, inverse: bool):
-    """Per-stage twiddle factors, Montgomery-encoded host-side.
+def _master_twiddles(log_n: int, inverse: bool):
+    """Powers root^j, j in [0, N/2), as a device tensor [L, N/2].
 
-    Stage s (s = 1..log_n) uses omega_{2^s}^j for j in [0, 2^(s-1)), repeated
-    across the N/2 butterfly lanes in natural (bit-reversed-input) order.
-    Returns [log_n, N/2] as a numpy uint32 array of limbs [log_n, L, N/2].
+    Built ON DEVICE by doubling (log2(N/2) batched Montgomery muls against
+    tiny per-step constants): materializing the table host-side embeds an
+    O(N)-byte constant in the compiled graph, which is ~33 MB at N = 2^20
+    and overflows the remote-compile request limit.
+
+    Stage s (s = 1..log_n) needs omega_{2^s}^j = root^(j*(n/2^s)) for
+    j < 2^(s-1) — exactly the stride-(n/2^s) subset of this table.
     """
     n = 1 << log_n
     root = pow(params.FR_ROOT_OF_UNITY, 1 << (params.FR_S - log_n), params.Q)
     if inverse:
         root = pow(root, params.Q - 2, params.Q)
-    r = 1 << (16 * FR.n_limbs)
-    stages = []
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        w_m = pow(root, n // m, params.Q)
-        half = m // 2
-        tw = [pow(w_m, j, params.Q) * r % params.Q for j in range(half)]
-        # butterflies at stage s: groups of m; lane layout [n//m, half]
-        stages.append(tw * (n // m))
-    # pure numpy (callable under jit/shard_map tracing): [L, log_n, N/2]
-    out = np.zeros((FR.n_limbs, log_n, n // 2), dtype=np.uint32)
-    for s, stage in enumerate(stages):
-        for j, v in enumerate(stage):
-            out[:, s, j] = params.to_limbs(v, FR.n_limbs)
-    return out
+    powers = fr.one((1,))  # [L, 1]
+    width = 1
+    while width < n // 2:
+        step = fr.const(pow(root, width, params.Q), (1,))
+        powers = jnp.concatenate([powers, fr.mul(powers, step)], axis=-1)
+        width *= 2
+    return powers[:, : n // 2]
 
 
-@functools.lru_cache(maxsize=None)
 def _bit_reverse_perm(log_n: int):
-    # pure numpy: safe to cache across traces (a cached jnp array created
-    # inside one jit trace would leak into later ones)
+    # computed on device (log_n vector ops) — a host-side numpy index array
+    # would embed an O(N)-byte constant in the compiled graph
     n = 1 << log_n
-    idx = np.arange(n)
-    rev = np.zeros(n, dtype=np.int64)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros(n, dtype=jnp.int32)
     for b in range(log_n):
-        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
     return rev
 
 
@@ -78,14 +72,15 @@ def ntt(coeffs, inverse: bool = False, _skip_scale: bool = False):
     n = coeffs.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "NTT size must be a power of two"
-    tw_table = _twiddle_table(log_n, inverse)  # [L, log_n, N/2]
+    master = _master_twiddles(log_n, inverse)  # [L, N/2] (device)
     extra = coeffs.ndim - 2  # leading batch dims between limbs and N
 
     x = coeffs[..., _bit_reverse_perm(log_n)]
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m // 2
-        tw = jnp.asarray(tw_table[:, s - 1])  # [L, N/2]
+        # stage table: stride-(n/m) subset of the master powers, tiled
+        tw = jnp.tile(master[:, :: n // m], (1, n // m))  # [L, N/2]
         if extra:
             tw = tw.reshape(tw.shape[:1] + (1,) * extra + tw.shape[1:])
         # view as [L, n/m, m]; split into even/odd halves of each group
