@@ -33,17 +33,17 @@ from ..fields import fr
 from ..limbs import FR
 
 
-def _digits(scalars_mont, c: int, n_windows: int):
-    """Canonical c-bit digits of Montgomery Fr scalars: [n_windows, B] int32."""
-    from .. import limbs
-
-    canon = limbs.from_mont(FR, scalars_mont)  # [16, B] of 16-bit limbs
+def _digits_raw(canon, c: int, n_windows: int):
+    """c-bit digits of canonical limb tensors [n_limbs, B]: [n_windows, B]
+    int32 (LSB-first window order)."""
+    n_limbs = canon.shape[0]
     outs = []
     for w in range(n_windows):
         lo_bit = c * w
         out = jnp.zeros(canon.shape[1:], dtype=jnp.uint32)
         # assemble digit from the (<=3) limbs it straddles
-        for limb in range(lo_bit // 16, min((lo_bit + c - 1) // 16 + 1, 16)):
+        for limb in range(lo_bit // 16,
+                          min((lo_bit + c - 1) // 16 + 1, n_limbs)):
             shift = limb * 16 - lo_bit
             part = canon[limb].astype(jnp.uint32)
             if shift >= 0:
@@ -52,6 +52,13 @@ def _digits(scalars_mont, c: int, n_windows: int):
                 out = out | (part >> (-shift))
         outs.append(out & jnp.uint32((1 << c) - 1))
     return jnp.stack(outs).astype(jnp.int32)
+
+
+def _digits(scalars_mont, c: int, n_windows: int):
+    """Canonical c-bit digits of Montgomery Fr scalars: [n_windows, B] int32."""
+    from .. import limbs
+
+    return _digits_raw(limbs.from_mont(FR, scalars_mont), c, n_windows)
 
 
 def _segmented_scan_add(curve, pts, heads):
@@ -91,10 +98,16 @@ def _segmented_scan_add(curve, pts, heads):
 
 def _msm_curve(curve_mod, points_proj, scalars_mont, c: int):
     """Single-device Pippenger over one curve module (g1 or g2)."""
-    curve = curve_mod.CURVE
     n_windows = -(-255 // c)
-    n_buckets = 1 << c
     digits = _digits(scalars_mont, c, n_windows)  # [W, B] int32
+    return _msm_window_pipeline(curve_mod, points_proj, digits, c)
+
+
+def _msm_window_pipeline(curve_mod, points_proj, digits, c: int):
+    """Window loop over precomputed digit tensors [W, B] (MSB applied last
+    via the reversed scan)."""
+    curve = curve_mod.CURVE
+    n_buckets = 1 << c
     batch = digits.shape[1:]
 
     def window_sum(keys):
@@ -159,10 +172,36 @@ def _msm_curve(curve_mod, points_proj, scalars_mont, c: int):
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def msm_g1(points_proj, scalars_mont, c: int = 8):
-    """sum_i [s_i] P_i over G1; equals the fold of serial scalar-muls."""
-    return _msm_curve(G1, points_proj, scalars_mont, c)
+@functools.partial(jax.jit, static_argnames=("c", "glv"))
+def msm_g1(points_proj, scalars_mont, c: int = 8, glv: bool = True):
+    """sum_i [s_i] P_i over G1; equals the fold of serial scalar-muls.
+
+    glv=True (default) splits every scalar with the GLV endomorphism
+    (s = k1 + k2 z^2, phi(P) = (beta x, y) = [-z^2]P): the point set doubles
+    but the window count halves (128-bit mini-scalars), halving both the
+    dominant sort/gather traffic and the bucket-accumulation adds.  Valid
+    for subgroup points (the only points Fr-scalar MSM is defined on);
+    glv=False keeps the plain 255-bit pipeline for arbitrary points.
+    """
+    if not glv:
+        return _msm_curve(G1, points_proj, scalars_mont, c)
+    from .. import limbs, params
+    from ..fields import fp
+
+    canon = limbs.from_mont(FR, scalars_mont)
+    k2, k1 = limbs.barrett_divmod(canon, params.BLS_X ** 2, 9)
+    x, y, z = points_proj
+    beta = fp.const(G1.BETA, x.shape[1:])
+    p2 = (fp.mul(beta, x), fp.neg(y), z)  # [z^2]P = -phi(P)
+    pts_ext = tuple(
+        jnp.concatenate([a, b], axis=-1) for a, b in zip(points_proj, p2)
+    )
+    n_windows = -(-128 // c)
+    digits = jnp.concatenate(
+        [_digits_raw(k1, c, n_windows), _digits_raw(k2, c, n_windows)],
+        axis=-1,
+    )  # [W, 2B]
+    return _msm_window_pipeline(G1, pts_ext, digits, c)
 
 
 @functools.partial(jax.jit, static_argnames=("c",))

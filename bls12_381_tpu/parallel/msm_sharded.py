@@ -20,11 +20,18 @@ from ..curves import g1 as G1
 from ..ops import msm as msm_mod
 
 
-def msm_g1_sharded(mesh, points_proj, scalars_mont, c: int = 8):
+def msm_g1_sharded(mesh, points_proj, scalars_mont, c: int = 8,
+                   glv: bool = False):
     """sum_i [s_i] P_i with the point batch sharded across the mesh.
 
     points_proj: projective G1 pytree with trailing batch axis [B];
     scalars_mont: [16, B] Montgomery Fr.  B must divide evenly by mesh size.
+
+    glv defaults to False here (unlike single-chip msm_g1): the cross-chip
+    semantics — shard, per-chip buckets, gather-reduce — are identical under
+    either per-chip digit pipeline, and the plain pipeline keeps this
+    (CPU-compiled, virtual-mesh) graph small for tests and dry runs.  Pass
+    glv=True on real pods.
     """
     axis = mesh.axis_names[0]
 
@@ -39,7 +46,7 @@ def msm_g1_sharded(mesh, points_proj, scalars_mont, c: int = 8):
         check_rep=False,
     )
     def _local(points, scalars):
-        partial_pt = msm_mod.msm_g1(points, scalars, c=c)  # [L] coords
+        partial_pt = msm_mod.msm_g1(points, scalars, c=c, glv=glv)  # [L] coords
         # gather one partial per chip -> [L, n_chips]; tree-add locally
         gathered = jax.tree.map(
             lambda x: jax.lax.all_gather(x, axis, axis=x.ndim, tiled=False),
