@@ -154,7 +154,7 @@ def _full_suite(B, a_d, b_d):
 
     B5 = 1 << 16
     ks5 = fr.from_ints(list(np.random.RandomState(3).randint(1, 1 << 62, B5)))
-    msm_fn = _tiny_out(lambda p, k: msm_mod.msm_g1(p, k, c=8))
+    msm_fn = _tiny_out(lambda p, k: msm_mod.msm_g1(p, k, c=12))
     t = _time_fetch(msm_fn, G1.generator((B5,)), ks5, reps=2)
     emit("msm_g1_2^16_s", round(t, 3))
 

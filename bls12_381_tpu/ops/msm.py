@@ -144,22 +144,44 @@ def _msm_window_pipeline(curve_mod, points_proj, digits, c: int):
             )
             for idn_, bk_ in zip(ident, buckets)
         )
-        # bucket reduction: S = sum_{b>=1} b * B_b via running + suffix sums,
-        # scanning buckets from highest to lowest
-        def red_step(carry, bucket):
-            running, total = carry
-            running = curve.add(running, bucket)
-            total = curve.add(total, running)
-            return (running, total), None
+        # bucket reduction: S = sum_{b>=1} b * B_b == sum over the inclusive
+        # suffix sums of B_{m-1}..B_1.  Both the suffix scan and the final
+        # sum run LOG-DEPTH over the bucket axis (associative_scan + halving
+        # tree) — a sequential 2^c-step scan is latency-bound on TPU and
+        # dominated the window cost for c >= 10.
+        rev = jax.tree.map(lambda x: x[..., ::-1][..., :-1], buckets)  # b=m-1..1
 
-        rev = jax.tree.map(lambda x: x[..., ::-1][..., :-1], buckets)  # b = m-1..1
-        init = (curve.identity(()), curve.identity(()))
-        (_, total), _ = jax.lax.scan(
-            red_step,
-            init,
-            jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), rev),
+        def to_scan(x):
+            return jnp.moveaxis(x, -1, 0)
+
+        def from_scan(x):
+            return jnp.moveaxis(x, 0, -1)
+
+        def combine(left, right):
+            l = jax.tree.map(from_scan, left)
+            r = jax.tree.map(from_scan, right)
+            return jax.tree.map(to_scan, curve.add(l, r))
+
+        scanned = jax.lax.associative_scan(
+            combine, jax.tree.map(to_scan, rev), axis=0
         )
-        return total
+        suffix = jax.tree.map(from_scan, scanned)  # [..., m-1] running sums
+        # tree-sum over the bucket axis
+        n = n_buckets - 1
+        acc = suffix
+        while n > 1:
+            half = n // 2
+            lo = jax.tree.map(lambda x: x[..., :half], acc)
+            hi = jax.tree.map(lambda x: x[..., half : 2 * half], acc)
+            s = curve.add(lo, hi)
+            if n % 2:
+                tail = jax.tree.map(lambda x: x[..., -1:], acc)
+                s = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=-1), s, tail
+                )
+            acc = s
+            n = acc[0].shape[-1]
+        return jax.tree.map(lambda x: x[..., 0], acc)
 
     # windows high -> low with c doublings between
     def outer_step(acc, keys):
