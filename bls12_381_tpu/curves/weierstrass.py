@@ -229,9 +229,13 @@ class Weierstrass:
 
         def lookup(digit):
             def take(leaf):
-                idx = digit[(None,) * (leaf.ndim - digit.ndim) + (...,)]
-                idx = jnp.broadcast_to(idx, (1,) + leaf.shape[1:])
-                return jnp.take_along_axis(leaf, idx, axis=0)[0]
+                sel = leaf
+                for b in range(window - 1, -1, -1):
+                    bit = ((digit >> b) & 1).astype(bool)
+                    mask = bit[(None,) * (sel.ndim - 1 - bit.ndim) + (...,)]
+                    half = sel.shape[0] // 2
+                    sel = jnp.where(mask, sel[half:], sel[:half])
+                return sel[0]
 
             return jax.tree.map(take, table)
 
@@ -262,10 +266,16 @@ class Weierstrass:
             tables.append(jax.tree.map(lambda *xs: jnp.stack(xs), *tbl))
 
         def lookup(table, digit):
+            # binary select tree (log2 m masked selects) — take_along_axis
+            # gathers are an order of magnitude slower on TPU lanes
             def take(leaf):
-                idx = digit[(None,) * (leaf.ndim - digit.ndim) + (...,)]
-                idx = jnp.broadcast_to(idx, (1,) + leaf.shape[1:])
-                return jnp.take_along_axis(leaf, idx, axis=0)[0]
+                sel = leaf
+                for b in range(window - 1, -1, -1):
+                    bit = ((digit >> b) & 1).astype(bool)
+                    mask = bit[(None,) * (sel.ndim - 1 - bit.ndim) + (...,)]
+                    half = sel.shape[0] // 2
+                    sel = jnp.where(mask, sel[half:], sel[:half])
+                return sel[0]
 
             return jax.tree.map(take, table)
 
