@@ -38,6 +38,8 @@ def __getattr__(name):
         "hash_to_curve",
         "ops",
         "parallel",
+        "config",
+        "utils",
     ):
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(name)

@@ -1,0 +1,88 @@
+"""Runtime configuration surface.
+
+The TPU analog of the reference's Cargo feature flags (Cargo.toml:36-43):
+kernel path, block sizes, mesh defaults, and compile-cache location, settable
+programmatically or via environment variables.
+
+    from bls12_381_tpu import config
+    config.update(pallas=False, msm_window=14)
+    with config.scope(pallas=False):
+        ...
+
+Environment variables (read at import):
+    BLS12_381_TPU_NO_PALLAS=1   force the pure-jnp path
+    BLS12_381_TPU_JAX_CACHE     persistent compile-cache directory
+    BLS12_381_TPU_BLOCK_B       Pallas batch-block size (lanes per grid step)
+    BLS12_381_TPU_MSM_WINDOW    default Pippenger window bits
+    BLS12_381_TPU_MESH_AXIS     default mesh axis name
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Config:
+    # None = auto-detect (Pallas on TPU backends, jnp elsewhere)
+    pallas: bool | None = None
+    # Pallas kernel batch block (lanes per grid step)
+    block_b: int = int(os.environ.get("BLS12_381_TPU_BLOCK_B", 2048))
+    # default Pippenger window bits (single-chip msm_g1/msm_g2)
+    msm_window: int = int(os.environ.get("BLS12_381_TPU_MSM_WINDOW", 12))
+    # route sop_fold through the operand-deduplicating planned-fold kernel
+    fold_dedup: bool = bool(
+        int(os.environ.get("BLS12_381_TPU_FOLD_DEDUP", "0"))
+    )
+    # default mesh axis name for parallel/*
+    mesh_axis: str = os.environ.get("BLS12_381_TPU_MESH_AXIS", "x")
+    # persistent compile cache directory ("" disables)
+    cache_dir: str = os.environ.get(
+        "BLS12_381_TPU_JAX_CACHE", "/root/.cache/bls12381_jax"
+    )
+
+
+_CONFIG = Config()
+
+
+def get() -> Config:
+    return _CONFIG
+
+
+def update(**kw) -> Config:
+    """Set config fields; pallas changes propagate to the kernel router."""
+    for k, v in kw.items():
+        if not hasattr(_CONFIG, k):
+            raise AttributeError(f"unknown config field {k!r}")
+        setattr(_CONFIG, k, v)
+    if "pallas" in kw:
+        from . import limbs
+
+        limbs.set_pallas(_CONFIG.pallas)
+    return _CONFIG
+
+
+@contextlib.contextmanager
+def scope(**kw):
+    """Temporarily override config fields (restores previous values)."""
+    old = {k: getattr(_CONFIG, k) for k in kw}
+    update(**kw)
+    try:
+        yield _CONFIG
+    finally:
+        update(**old)
+
+
+def configure_jax_cache():
+    """Point jax at the persistent compile cache (idempotent)."""
+    if not _CONFIG.cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CONFIG.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass

@@ -155,7 +155,10 @@ def is_torsion_free(p):
 
 @jax.jit
 def to_affine(p):
-    return CURVE.to_affine(p, fp.inv)
+    """Projective -> affine; the z-inversion is amortized over the batch via
+    the log-depth product tree (the reference's batch_normalize Montgomery
+    trick, g1.rs:806-839, redesigned batch-first)."""
+    return CURVE.to_affine(p, fp.batch_inv)
 
 
 batch_normalize = to_affine  # one name per reference (g1.rs:806-839)

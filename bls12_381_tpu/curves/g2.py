@@ -168,7 +168,8 @@ def clear_cofactor(p):
 
 @jax.jit
 def to_affine(p):
-    return CURVE.to_affine(p, tw.fp2_inv)
+    """z-inversion amortized over the batch (g2.rs:951-984 analog)."""
+    return CURVE.to_affine(p, tw.fp2_batch_inv)
 
 
 batch_normalize = to_affine

@@ -39,6 +39,12 @@ def inv(a):
     return limbs.pow_fixed(FP, a, params.P - 2)
 
 
+def batch_inv(a):
+    """Elementwise inverse amortized over the last batch axis (the batched
+    analog of the reference's batch_normalize trick, g1.rs:806-839)."""
+    return limbs.batch_inv(FP, a)
+
+
 def sqrt(a):
     """Candidate square root a^((p+1)/4) plus an is-square mask.
 

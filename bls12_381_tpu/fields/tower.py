@@ -129,6 +129,15 @@ def fp2_inv(a):
     return (fp.mul(a[0], ninv), fp.neg(fp.mul(a[1], ninv)))
 
 
+def fp2_batch_inv(a):
+    """fp2_inv with the Fp norm inversion amortized over the last batch axis
+    (one product-tree inversion for the whole batch, g1.rs:806-839 analog)."""
+    norm = fp.sop([(a[0], a[0]), (a[1], a[1])])
+    ninv = fp.batch_inv(norm)
+    t0, t1 = fp.mul_many([(a[0], ninv), (a[1], ninv)])
+    return (t0, fp.neg(t1))
+
+
 def fp2_select(mask, a, b):
     return (fp.select(mask, a[0], b[0]), fp.select(mask, a[1], b[1]))
 
@@ -286,8 +295,46 @@ def fp6_mul_many(pairs):
     return [_fp6_from_flat(flat[6 * i : 6 * i + 6]) for i in range(len(pairs))]
 
 
+def _fp2_sqr_groups(x):
+    """The two Fp-level groups of a complex squaring ((x0+x1)(x0-x1), x0 x1);
+    the caller doubles the second output component."""
+    s = fp.add(x[0], x[1])
+    d = fp.sub(x[0], x[1])
+    return [[(s, d)], [(x[0], x[1])]]
+
+
 def fp6_sqr(a):
-    return fp6_mul(a, a)
+    """Dedicated CH-SQR squaring (fp6.rs:277-291): 5 Fp2 products
+      s0 = c0^2, ab = c0 c1, s2 = (c0 - c1 + c2)^2, bc = c1 c2, s4 = c2^2
+    as ONE fused fold of 10 groups (T <= 2) — ~1.4x fewer limb MACs than the
+    36-term full product."""
+    c0, c1, c2 = a
+    cb = _Combos()
+    t = fp2_add(fp2_sub(c0, c1), c2)
+    groups = (
+        _fp2_sqr_groups(c0)
+        + list(_fp2_term_groups([(c0, c1, False)], cb))
+        + _fp2_sqr_groups(t)
+        + list(_fp2_term_groups([(c1, c2, False)], cb))
+        + _fp2_sqr_groups(c2)
+    )
+    flat = fp.sop_fold(groups)
+
+    def sq_out(g0, g1):
+        return (g0, fp.add(g1, g1))
+
+    s0 = sq_out(flat[0], flat[1])
+    ab = (flat[2], flat[3])
+    s1 = fp2_add(ab, ab)
+    s2 = sq_out(flat[4], flat[5])
+    bc = (flat[6], flat[7])
+    s3 = fp2_add(bc, bc)
+    s4 = sq_out(flat[8], flat[9])
+    return (
+        fp2_add(fp2_mul_by_nonresidue(s3), s0),
+        fp2_add(fp2_mul_by_nonresidue(s4), s1),
+        fp2_sub(fp2_add(fp2_add(s1, s2), s3), fp2_add(s0, s4)),
+    )
 
 
 def fp6_mul_by_nonresidue(a):

@@ -78,6 +78,34 @@ def hash_to_field_fp2_device(msgs, dst, count):
     )
 
 
+def hash_to_field_fr(msgs, dst, count, expand=hm.expand_message_xmd, **kw):
+    """HashToField for Scalar (map_scalar.rs:10-23): L = 48 bytes/element.
+    Host expansion -> Fr batch [L, count, n_msgs] (Montgomery)."""
+    vals = []
+    for msg in msgs:
+        okm = expand(msg, dst, count * 48, **kw)
+        vals.append(
+            [hm.fr_from_okm(okm[i * 48 : (i + 1) * 48]) for i in range(count)]
+        )
+    from ..fields import fr
+
+    arr = np.array(vals, dtype=object).T  # [count, n_msgs]
+    return fr.from_ints(arr)
+
+
+def hash_to_field_fr_device(msgs, dst, count):
+    """Fully-on-device scalar hash_to_field: batched SHA-256 XMD expansion +
+    batched wide reduction (fr.from_okm).  Returns [L, count, B]."""
+    from ..fields import fr
+    from ..kernels import sha256_jax
+
+    arr = _msgs_to_array(msgs)
+    okm = sha256_jax.expand_message_xmd_sha256(arr, dst, count * 48)
+    okm = okm.reshape(arr.shape[0], count, 48)  # [B, count, 48]
+    u = fr.from_okm(okm)  # [L, B, count]
+    return jnp.moveaxis(u, -1, 1)  # [L, count, B]
+
+
 def hash_to_field_fp2(msgs, dst, count, expand=hm.expand_message_xmd, **kw):
     """msgs: list of bytes -> Fp2 batch ([L, count, n], [L, count, n])."""
     c0s, c1s = [], []

@@ -260,6 +260,218 @@ def _sop_kernel_reg(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv16,
     out_ref[:] = jnp.where(take, diff, jnp.stack(t_out[:L]))
 
 
+def _fold_planned_kernel_r12(ia_ref, ib_ref, ops_ref, out_ref, *, n_limbs,
+                             n_terms, inv12, p12, l12):
+    """Uniform planned-fold kernel: out[g] = sum_t ops[ia[g,t]] * ops[ib[g,t]].
+
+    Grid = (batch_blocks, G); the operand stack [K, L, bb] is block-constant
+    across the inner G steps, so Mosaic fetches it from HBM once per batch
+    block — distinct operands are read ONCE instead of duplicated per
+    (group, term) like the stacked sop layout.  Term lists are padded to
+    n_terms with index 0 = the all-zeros row (contributes nothing).
+    ia/ib live in SMEM ([G, T] int32 scalars).
+    """
+    L = n_limbs
+    bb = out_ref.shape[-1]
+    g = pl.program_id(1)
+    zero = jnp.zeros((bb,), jnp.uint32)
+    acc = [zero] * (2 * l12 - 1)
+    for t in range(n_terms):
+        ia = ia_ref[g, t]
+        ib = ib_ref[g, t]
+        a12 = _repack_16_to_12([ops_ref[ia, i] for i in range(L)], l12)
+        b12 = _repack_16_to_12([ops_ref[ib, i] for i in range(L)], l12)
+        for i in range(l12):
+            ai = a12[i]
+            for j in range(l12):
+                acc[i + j] = acc[i + j] + ai * b12[j]
+    rows = _r12_reduce_and_pack(acc, l12=l12, inv12=inv12, p12=p12, n16=L)
+    out_ref[0] = jnp.stack(rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_limbs", "inv16", "p_limbs", "n_terms",
+                              "block_b", "interpret")
+)
+def fold_planned_pallas(ops_stack, ia, ib, *, n_limbs, inv16, p_limbs,
+                        n_terms, block_b=1024, interpret=False):
+    """Planned fused fold: G groups of <= n_terms products over K distinct
+    operands.  ops_stack: [K, L, B] (row 0 MUST be zeros); ia/ib: [G, T]
+    int32 operand indices.  Returns [G, L, B].
+    """
+    k, l, b = ops_stack.shape
+    gcount, t = ia.shape
+    assert l == n_limbs and t == n_terms
+    r12 = _r12_params(p_limbs)
+    assert r12 is not None and n_terms <= 6
+    l12, inv12, p12 = r12
+    if b == 0:
+        return jnp.zeros((gcount, l, 0), jnp.uint32)
+    bb = min(block_b, -(-b // 128) * 128)
+    pad = (-b) % bb
+    if pad:
+        ops_stack = jnp.pad(ops_stack, ((0, 0), (0, 0), (0, pad)))
+    bp = b + pad
+    kernel = functools.partial(
+        _fold_planned_kernel_r12, n_limbs=l, n_terms=n_terms, inv12=inv12,
+        p12=p12, l12=l12,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // bb, gcount),
+        in_specs=[
+            pl.BlockSpec((gcount, t), lambda i, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((gcount, t), lambda i, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, l, bb), lambda i, g: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, bb), lambda i, g: (g, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gcount, l, bp), jnp.uint32),
+        interpret=interpret,
+    )(ia, ib, ops_stack)
+    return out[:, :, :b] if pad else out
+
+
+def _mont_mul_rows_16(b_rows, w_rows, *, n_limbs, inv16, p16, zero):
+    """In-kernel 16-bit-limb Montgomery product of two row lists -> canonical
+    row list (the _sop_kernel_reg pipeline as a reusable helper; works for
+    ANY modulus, unlike the radix-12 path)."""
+    L = n_limbs
+    acc = [zero] * (2 * L + 1)
+    for i in range(L):
+        bi = b_rows[i]
+        for j in range(L):
+            prod = bi * w_rows[j]
+            acc[i + j] = acc[i + j] + (prod & MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+    inv = np.uint32(inv16)
+    for k in range(L):
+        m = (acc[k] * inv) & MASK
+        for j in range(L):
+            mp = m * p16[j]
+            acc[k + j] = acc[k + j] + (mp & MASK)
+            acc[k + j + 1] = acc[k + j + 1] + (mp >> LIMB_BITS)
+        acc[k + 1] = acc[k + 1] + (acc[k] >> LIMB_BITS)
+    carry = zero
+    t_out = []
+    for k in range(L, 2 * L + 1):
+        v = acc[k] + carry
+        t_out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    # conditional subtract p over L+1 limbs (value < 2p)
+    borrow = zero
+    diffs = []
+    for i in range(L + 1):
+        p_i = p16[i] if i < L else np.uint32(0)
+        v = t_out[i] + np.uint32(1 << LIMB_BITS) - p_i - borrow
+        diffs.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    take = borrow == 0
+    return [jnp.where(take, d, t) for d, t in zip(diffs[:L], t_out[:L])]
+
+
+def _butterfly_kernel_16(a_ref, b_ref, w_ref, out_ref, *, n_limbs, inv16,
+                         p16):
+    """Fused NTT butterfly: t = b*w (Montgomery); lo = a+t; hi = a-t.
+
+    One VMEM pass instead of three separate XLA subgraphs (mul + add + sub,
+    each with its own carry-propagation network and HBM round trip) — the
+    radix-2 NTT stage becomes compute-bound on the multiply.  16-bit limb
+    pipeline (Fr's 256-bit width is not radix-12 compatible).
+    out_ref: [2, L, bb] = (lo, hi).
+    """
+    L = n_limbs
+    bb = out_ref.shape[-1]
+    zero = jnp.zeros((bb,), jnp.uint32)
+
+    t_rows = _mont_mul_rows_16(
+        [b_ref[i] for i in range(L)],
+        [w_ref[i] for i in range(L)],
+        n_limbs=L, inv16=inv16, p16=p16, zero=zero,
+    )
+    a_rows = [a_ref[i] for i in range(L)]
+
+    # lo = a + t, conditionally minus p (sum < 2p)
+    carry = zero
+    s_rows = []
+    for i in range(L):
+        v = a_rows[i] + t_rows[i] + carry
+        s_rows.append(v & MASK)
+        carry = v >> LIMB_BITS
+    borrow = zero
+    d_rows = []
+    for i in range(L):
+        v = s_rows[i] + np.uint32(1 << LIMB_BITS) - p16[i] - borrow
+        d_rows.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    # take the subtracted value if (carry:borrowless) sum >= p:
+    # sum = carry*2^384 + s; sum - p = ... keep d if no net borrow
+    take_d = ((carry + np.uint32(1) - borrow) > 0)[None, :]
+    lo = jnp.where(take_d, jnp.stack(d_rows), jnp.stack(s_rows))
+
+    # hi = a - t, plus p on borrow
+    borrow = zero
+    e_rows = []
+    for i in range(L):
+        v = a_rows[i] + np.uint32(1 << LIMB_BITS) - t_rows[i] - borrow
+        e_rows.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    carry = zero
+    f_rows = []
+    for i in range(L):
+        v = e_rows[i] + p16[i] + carry
+        f_rows.append(v & MASK)
+        carry = v >> LIMB_BITS
+    add_p = (borrow > 0)[None, :]
+    hi = jnp.where(add_p, jnp.stack(f_rows), jnp.stack(e_rows))
+
+    out_ref[0] = lo
+    out_ref[1] = hi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_limbs", "inv16", "p_limbs", "block_b",
+                              "interpret")
+)
+def butterfly_pallas(a, b, w, *, n_limbs, inv16, p_limbs, block_b=4096,
+                     interpret=False):
+    """Batched fused butterfly (lo, hi) = (a + b*w, a - b*w) mod p.
+
+    a, b, w: [L, B] uint32 canonical Montgomery limbs; returns [2, L, B].
+    16-bit limb pipeline — valid for any modulus width (Fr's 256 bits is
+    not radix-12 compatible).
+    """
+    l, bsz = a.shape
+    assert l == n_limbs
+    if bsz == 0:
+        return jnp.zeros((2, l, 0), jnp.uint32)
+    bb = min(block_b, -(-bsz // 128) * 128)
+    pad = (-bsz) % bb
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    bp = bsz + pad
+    kernel = functools.partial(
+        _butterfly_kernel_16, n_limbs=l, inv16=inv16,
+        p16=tuple(np.uint32(x) for x in p_limbs),
+    )
+    spec = pl.BlockSpec((l, bb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // bb,),
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec((2, l, bb), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, l, bp), jnp.uint32),
+        interpret=interpret,
+    )(a, b, w)
+    return out[:, :, :bsz] if pad else out
+
+
 def _r12_params(p_limbs16):
     """(l12, inv12, p12 limbs) for a modulus given as 16-bit limbs, or None
     if the bit width is not a multiple of 12 (radix-12 needs R = 2^(12*l12)
@@ -364,11 +576,19 @@ def sqr_pallas(a_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
         return jnp.zeros((g, l, 0), jnp.uint32)
     r12 = _r12_params(p_limbs)
     if r12 is None:
-        flat = a_stack.reshape(1, l, g * b) if g > 1 else a_stack
+        # flatten groups into the batch axis: [G, L, B] -> [1, L, G*B] with
+        # the limb axis kept contiguous (a bare reshape would interleave the
+        # group and limb axes and silently corrupt the result for G > 1)
+        flat = (
+            jnp.moveaxis(a_stack, 0, 1).reshape(1, l, g * b)
+            if g > 1 else a_stack
+        )
         out = sop_pallas(flat, flat, n_limbs=n_limbs, inv16=inv16,
                          p_limbs=p_limbs, block_b=block_b,
                          interpret=interpret)
-        return out.reshape(g, l, b) if g > 1 else out
+        return (
+            jnp.moveaxis(out.reshape(l, g, b), 1, 0) if g > 1 else out
+        )
     l12, inv12, p12 = r12
     bb = min(block_b, -(-b // 128) * 128)  # lane-aligned block
     pad = (-b) % bb

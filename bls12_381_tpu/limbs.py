@@ -51,6 +51,7 @@ class FieldSpec:
     p_limbs: np.ndarray        # [L] uint32
     p2_limbs: np.ndarray       # [L+1] uint32, 2*p (for lazy bounds checks)
     r2_limbs: np.ndarray       # [L] uint32, R^2 mod p (Montgomery conversion)
+    r3_limbs: np.ndarray       # [L] uint32, R^3 mod p (wide-byte reduction)
     one_mont: np.ndarray       # [L] uint32, R mod p (Montgomery one)
 
     @staticmethod
@@ -68,6 +69,7 @@ class FieldSpec:
             p_limbs=limbs(modulus),
             p2_limbs=limbs(2 * modulus, n_limbs + 1),
             r2_limbs=limbs(r * r % modulus),
+            r3_limbs=limbs(r * r % modulus * r % modulus),
             one_mont=limbs(r % modulus),
         )
 
@@ -324,6 +326,13 @@ def _use_pallas() -> bool:
     if os.environ.get("BLS12_381_TPU_NO_PALLAS"):
         return False
     try:
+        from . import config
+
+        if config.get().pallas is not None:
+            return config.get().pallas
+    except Exception:
+        pass
+    try:
         plat = jax.devices()[0].platform
     except Exception:
         return False
@@ -369,6 +378,48 @@ def sum_of_products(spec: FieldSpec, pairs) -> jnp.ndarray:
     return _mont_reduce(spec, cols)
 
 
+def _sop_fold_planned(spec: FieldSpec, groups):
+    """Route a fold through the operand-deduplicating planned kernel:
+    distinct operand tensors are stacked ONCE ([K, L, B]) with static [G, T]
+    index plans, instead of duplicating operands per (group, term)."""
+    from .kernels import pallas_mont
+
+    L = spec.n_limbs
+    batch = jnp.broadcast_shapes(
+        *[x.shape[1:] for grp in groups for pair in grp for x in pair]
+    )
+    flat = int(np.prod(batch)) if batch else 1
+    ops = [jnp.zeros((L,) + batch, jnp.uint32)]  # row 0 = zeros (pad slot)
+    ids: dict[int, int] = {}
+
+    def reg(x):
+        key = id(x)
+        if key not in ids:
+            ids[key] = len(ops)
+            ops.append(jnp.broadcast_to(x, (L,) + batch))
+        return ids[key]
+
+    t = max(len(grp) for grp in groups)
+    ia = np.zeros((len(groups), t), np.int32)
+    ib = np.zeros((len(groups), t), np.int32)
+    for gi, grp in enumerate(groups):
+        for ti, (a, b) in enumerate(grp):
+            ia[gi, ti] = reg(a)
+            ib[gi, ti] = reg(b)
+    stack = jnp.stack(ops).reshape(len(ops), L, flat)
+    out = pallas_mont.fold_planned_pallas(
+        stack,
+        jnp.asarray(ia),
+        jnp.asarray(ib),
+        n_limbs=L,
+        inv16=spec.inv16,
+        p_limbs=tuple(int(x) for x in spec.p_limbs),
+        n_terms=t,
+    )
+    out = out.reshape((len(groups), L) + batch)
+    return [out[i] for i in range(len(groups))]
+
+
 def sop_fold(spec: FieldSpec, groups):
     """Many independent sum-of-products, folded into ONE batched reduction.
 
@@ -383,6 +434,11 @@ def sop_fold(spec: FieldSpec, groups):
     g = len(groups)
     if g == 1:
         return [sum_of_products(spec, groups[0])]
+    if g >= 4 and _use_pallas() and max(len(grp) for grp in groups) <= 6:
+        from . import config
+
+        if config.get().fold_dedup and (16 * spec.n_limbs) % 12 == 0:
+            return _sop_fold_planned(spec, groups)
     t = max(len(grp) for grp in groups)
     assert t <= 8
     batch = jnp.broadcast_shapes(
@@ -453,7 +509,14 @@ def barrett_divmod(a: jnp.ndarray, d: int, q_limbs: int):
 
     Precomputes M = floor(2^(16n)/d); q_hat = floor(a*M / 2^(16n)) is within
     one of the true quotient (error < a/2^(16n) < 1), fixed by one masked
-    correction.  Returns (q [q_limbs, *batch], r [n, *batch])."""
+    correction.  Returns (q [q_limbs, *batch], r [n, *batch]).
+
+    PRECONDITION (caller-guaranteed, silently truncates otherwise): the
+    quotient is computed mod 2^(16*q_limbs), so the caller must ensure
+    floor(max(a) / d) < 2^(16*q_limbs).  Passing q_limbs sized from the
+    VALUE bound of `a` (not its limb count) is legitimate — e.g. the GLS
+    decomposition divides a 256-limb-bit tensor known to be < x^3 by x^2
+    with q_limbs=5 (quotient < x < 2^64)."""
     n = a.shape[0]
     m_const = (1 << (16 * n)) // d
     prod = plain_mul_const(a, m_const, n + q_limbs)
@@ -575,6 +638,49 @@ def inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return pow_fixed(spec, a, spec.modulus - 2)
 
 
+def batch_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise inverse amortized over the LAST batch axis.
+
+    The TPU-native analog of batch_normalize's Montgomery product trick
+    (reference g1.rs:806-839): log-depth prefix/suffix product scans
+    (~2 log2 B batched muls) plus ONE pow inversion of the total, instead of
+    a ~450-mul pow per element — ~14x less multiply work at B = 2^16.
+    Zeros invert to zero (identity-skipping, like the reference's CT dance).
+    """
+    b = a.shape[-1] if a.ndim > 1 else 0
+    if b < 16:  # scan overhead not worth it; latency of pow dominates anyway
+        return inv(spec, a)
+    zero_mask = is_zero(a)  # [*batch]
+    safe = select(zero_mask, _bcast_full(spec.one_mont, a), a)
+
+    # scan axis must lead for associative_scan
+    def to_scan(x):
+        return jnp.moveaxis(x, -1, 0)
+
+    def from_scan(x):
+        return jnp.moveaxis(x, 0, -1)
+
+    def combine(l, r):
+        return to_scan(mont_mul(spec, from_scan(l), from_scan(r)))
+
+    s = to_scan(safe)
+    pre_incl = from_scan(jax.lax.associative_scan(combine, s, axis=0))
+    suf_incl = from_scan(
+        jax.lax.associative_scan(combine, s[::-1], axis=0)
+    )[..., ::-1]
+    one_col = _bcast_full(spec.one_mont, a[..., :1])
+    pre_excl = jnp.concatenate([one_col, pre_incl[..., :-1]], axis=-1)
+    suf_excl = jnp.concatenate([suf_incl[..., 1:], one_col], axis=-1)
+    total_inv = inv(spec, pre_incl[..., -1])  # [L, *batch_rest]
+    others = mont_mul(spec, pre_excl, suf_excl)  # prod_{j != i} a_j
+    out = mont_mul(spec, others, total_inv[..., None])
+    return select(zero_mask, jnp.zeros_like(out), out)
+
+
+def _bcast_full(const: np.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    return jnp.broadcast_to(_bcast(const, like), like.shape)
+
+
 # ---------------------------------------------------------------------------
 # Host <-> device codecs
 # ---------------------------------------------------------------------------
@@ -631,6 +737,20 @@ def one(spec: FieldSpec, batch_shape=()) -> jnp.ndarray:
 def to_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Canonical residue -> Montgomery form (multiply by R^2)."""
     return mont_mul(spec, a, _bcast(spec.r2_limbs, a))
+
+
+def wide_reduce(spec: FieldSpec, lo: jnp.ndarray, hi: jnp.ndarray):
+    """(lo + hi * R) mod p in Montgomery form, for RAW limb tensors lo, hi
+    (any value < R, not necessarily canonical).
+
+    The device analog of the reference's from_bytes_wide trick
+    (scalar.rs:300-331): mont_mul(lo, R^2) = lo*R and mont_mul(hi, R^3) =
+    hi*R*R, summed.  The Montgomery-reduction bound result <= a*b/R + p < 2p
+    only needs ONE canonical operand (the R^2/R^3 constants), so the raw
+    inputs are legal."""
+    l = mont_mul(spec, lo, _bcast(spec.r2_limbs, lo))
+    h = mont_mul(spec, hi, _bcast(spec.r3_limbs, hi))
+    return add(spec, l, h)
 
 
 def from_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:

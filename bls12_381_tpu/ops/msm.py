@@ -33,6 +33,25 @@ from ..fields import fr
 from ..limbs import FR
 
 
+def recommended_window_for_num_scalars(num_scalars: int,
+                                       g2: bool = False) -> int:
+    """Pippenger window-size recommendation by batch size — the TPU analog
+    of the reference's wNAF tables (g1.rs:989-1005, g2.rs:1134-1149; same
+    breakpoints, which track the 2^c-vs-N work balance)."""
+    recommendations = (
+        [1, 3, 8, 20, 47, 126, 260, 826, 1501, 4555, 84071]
+        if g2
+        else [1, 3, 7, 20, 43, 120, 273, 563, 1630, 3128, 7933, 62569]
+    )
+    ret = 4
+    for r in recommendations:
+        if num_scalars > r:
+            ret += 1
+        else:
+            break
+    return ret
+
+
 def _digits_raw(canon, c: int, n_windows: int):
     """c-bit digits of canonical limb tensors [n_limbs, B]: [n_windows, B]
     int32 (LSB-first window order)."""
@@ -194,8 +213,17 @@ def _msm_window_pipeline(curve_mod, points_proj, digits, c: int):
     return acc
 
 
+def msm_g1(points_proj, scalars_mont, c: int | None = None, glv: bool = True):
+    """Entry point; c defaults to config.msm_window (see _msm_g1_jit)."""
+    if c is None:
+        from .. import config
+
+        c = config.get().msm_window
+    return _msm_g1_jit(points_proj, scalars_mont, c, glv)
+
+
 @functools.partial(jax.jit, static_argnames=("c", "glv"))
-def msm_g1(points_proj, scalars_mont, c: int = 8, glv: bool = True):
+def _msm_g1_jit(points_proj, scalars_mont, c: int, glv: bool):
     """sum_i [s_i] P_i over G1; equals the fold of serial scalar-muls.
 
     glv=True (default) splits every scalar with the GLV endomorphism
@@ -226,6 +254,14 @@ def msm_g1(points_proj, scalars_mont, c: int = 8, glv: bool = True):
     return _msm_window_pipeline(G1, pts_ext, digits, c)
 
 
+def msm_g2(points_proj, scalars_mont, c: int | None = None):
+    if c is None:
+        from .. import config
+
+        c = config.get().msm_window
+    return _msm_g2_jit(points_proj, scalars_mont, c)
+
+
 @functools.partial(jax.jit, static_argnames=("c",))
-def msm_g2(points_proj, scalars_mont, c: int = 8):
+def _msm_g2_jit(points_proj, scalars_mont, c: int):
     return _msm_curve(G2, points_proj, scalars_mont, c)

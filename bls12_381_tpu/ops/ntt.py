@@ -87,9 +87,8 @@ def ntt(coeffs, inverse: bool = False, _skip_scale: bool = False):
         xg = x.reshape(x.shape[:-1] + (n // m, m))
         a = xg[..., :half].reshape(x.shape[:-1] + (n // 2,))
         b = xg[..., half:].reshape(x.shape[:-1] + (n // 2,))
-        t = fr.mul(b, tw)
-        lo = fr.add(a, t)
-        hi = fr.sub(a, t)
+        # fused butterfly: ONE kernel pass for mul+add+sub on TPU
+        lo, hi = fr.butterfly(a, b, tw)
         x = jnp.concatenate(
             [
                 lo.reshape(x.shape[:-1] + (n // m, half)),

@@ -17,13 +17,28 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     n = n_devices or len(devs)
     if len(devs) < n:
         # fall back to virtual host devices (e.g. asking for an 8-way mesh on
-        # a 1-chip box with xla_force_host_platform_device_count set)
+        # a 1-chip box with xla_force_host_platform_device_count set) — warn,
+        # so a misconfigured real pod cannot silently run sharded compute on
+        # the host CPU
         try:
             cpu = jax.devices("cpu")
             if len(cpu) >= n:
+                import warnings
+
+                warnings.warn(
+                    f"make_mesh({n}): only {len(devs)} accelerator device(s) "
+                    f"present; falling back to virtual CPU devices",
+                    stacklevel=2,
+                )
                 devs = cpu
         except RuntimeError:
             pass
+    if len(devs) < n:
+        raise RuntimeError(
+            f"make_mesh({n}): only {len(devs)} devices available (set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual mesh)"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 

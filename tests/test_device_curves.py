@@ -100,7 +100,7 @@ class TestG1:
     def test_serialization_vs_dat(self):
         comp = open(conftest.VECTORS / "g1_compressed_valid_test_vectors.dat", "rb").read()
         uncomp = open(conftest.VECTORS / "g1_uncompressed_valid_test_vectors.dat", "rb").read()
-        n = 32
+        n = 1000  # the FULL reference vector walk (tests/mod.rs:3-28)
         pts, acc = [], None
         for _ in range(n):
             pts.append(acc)
@@ -181,7 +181,7 @@ class TestG2:
     def test_serialization_vs_dat(self):
         comp = open(conftest.VECTORS / "g2_compressed_valid_test_vectors.dat", "rb").read()
         uncomp = open(conftest.VECTORS / "g2_uncompressed_valid_test_vectors.dat", "rb").read()
-        n = 16
+        n = 1000  # the FULL reference vector walk (tests/mod.rs:3-28)
         pts, acc = [], None
         for _ in range(n):
             pts.append(acc)

@@ -107,12 +107,69 @@ class TestLimbs:
         _, ok = fp.sqrt(fp.from_ints([5] * B))
         assert not any(bool(o) for o in ok)
 
+    def test_batch_inv(self):
+        # product-tree amortized inversion == per-element pow, zeros -> zero
+        vals = rints(48, P)
+        vals[3] = 0
+        vals[17] = 0
+        got = fp.to_ints(fp.batch_inv(fp.from_ints(vals)))
+        for g, v in zip(got, vals):
+            assert int(g) == (0 if v == 0 else pow(v, P - 2, P))
+        # small batches route to plain pow
+        got = fp.to_ints(fp.batch_inv(fp.from_ints(vals[:4])))
+        assert [int(g) for g in got] == [pow(v, P - 2, P) for v in vals[:4]]
+
     def test_fr_ops(self):
         fa, fb = rints(B, Q), rints(B, Q)
         got = fr.to_ints(fr.mul(fr.from_ints(fa), fr.from_ints(fb)))
         assert all(int(g) == x * y % Q for g, x, y in zip(got, fa, fb))
         got = fr.to_ints(fr.inv(fr.from_ints(fa)))
         assert all(int(g) == pow(x, Q - 2, Q) for g, x in zip(got, fa))
+
+    def test_fr_sqrt_matches_host(self):
+        # device Tonelli-Shanks (scalar.rs:670-681 analog) returns the SAME
+        # deterministic root as the host classic T-S oracle
+        vals = rints(B, Q)
+        squares = [v * v % Q for v in vals]
+        root, ok = fr.sqrt(fr.from_ints(squares))
+        assert all(bool(o) for o in ok)
+        got = fr.to_ints(root)
+        for g, s in zip(got, squares):
+            assert int(g) == hm.fr_sqrt(s)
+        # edges: 0 and 1
+        root, ok = fr.sqrt(fr.from_ints([0, 1]))
+        assert [bool(o) for o in ok] == [True, True]
+        assert [int(x) for x in fr.to_ints(root)] == [0, 1]
+        # non-residues rejected (7 is the generator => 7 * square is QNR)
+        nr = [7 * v * v % Q for v in rints(8, Q)]
+        _, ok = fr.sqrt(fr.from_ints(nr))
+        assert not any(bool(o) for o in ok)
+
+    def test_fr_wide_reduction_device(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(11)
+        data = rng.randint(0, 256, size=(B, 64)).astype(np.uint8)
+        # scalar.rs:969-1041 edge cases: 0, R, R^2, 2^512-1
+        data[0] = 0
+        data[1] = 0
+        data[1][32] = 1  # R = 2^256
+        data[2] = 0
+        data[2][-1] = 0  # placeholder; R^2 needs 512 bits: set via int
+        r2 = (1 << 512) - 1
+        data[3] = np.frombuffer(r2.to_bytes(64, "little"), dtype=np.uint8)
+        got = fr.to_ints(fr.from_bytes_wide(jnp.asarray(data)))
+        for g, row in zip(got, data):
+            assert int(g) == hm.fr_from_bytes_wide(bytes(row.tolist()))
+
+    def test_fr_from_okm_device(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(12)
+        okm = rng.randint(0, 256, size=(B, 48)).astype(np.uint8)
+        got = fr.to_ints(fr.from_okm(jnp.asarray(okm)))
+        for g, row in zip(got, okm):
+            assert int(g) == hm.fr_from_okm(bytes(row.tolist()))
 
     def test_bytes_codecs(self):
         data = fp.to_bytes_host(self.a)
@@ -174,6 +231,26 @@ class TestFp2:
         for i in range(B):
             assert hm.fp2_square((int(g0[i]), int(g1[i]))) == sq_h[i]
 
+    def test_sqrt_root_choice_matches_reference(self):
+        """The device sqrt picks the reference's DETERMINISTIC root (Alg 9 of
+        ePrint 2012/685 as implemented in fp2.rs:245-295; the host oracle
+        mirrors that algorithm branch-for-branch)."""
+        # general branch: squares of random elements
+        cases = [hm.fp2_square(x) for x in self.a_h]
+        # alpha == -1 branch: elements of the order-(p-1) subfield Fp whose
+        # sqrt lies along u (reference test vector b = 5 = generator of the
+        # p-1-order subgroup) and other c1 == 0 values
+        cases += [(5, 0), (25, 0), (7, 0), (1, 0), (4, 0)]
+        root, ok = tw.fp2_sqrt(tw.fp2_from_ints(cases))
+        g0, g1 = tw.fp2_to_ints(root)
+        for i, c in enumerate(cases):
+            expect = hm.fp2_sqrt(c)
+            if expect is None:
+                assert not bool(ok[i]), c
+            else:
+                assert bool(ok[i]), c
+                assert (int(g0[i]), int(g1[i])) == expect, c
+
     def test_lexicographic_sgn0(self):
         assert list(tw.fp2_lexicographically_largest(self.a)) == [
             hm.fp2_lexicographically_largest(x) for x in self.a_h
@@ -195,6 +272,10 @@ class TestFp6Fp12:
             hm.fp6_mul(x, y) for x, y in zip(self.a6_h, self.b6_h)
         ]
         assert dec6(tw.fp6_inv(a6)) == [hm.fp6_inv(x) for x in self.a6_h]
+        # dedicated CH-SQR squaring (fp6.rs:277-291) == full product
+        assert dec6(tw.fp6_sqr(a6)) == [
+            hm.fp6_mul(x, x) for x in self.a6_h
+        ]
         assert dec6(tw.fp6_frobenius(a6)) == [
             hm.fp6_frobenius(x) for x in self.a6_h
         ]
@@ -307,3 +388,75 @@ def test_pallas_kernel_versions_and_sqr_interpret():
     )
     mm = np.asarray(pallas_mont.sop_pallas(a, a, version=3, **kw))
     assert np.array_equal(sq[0], mm)
+
+
+def test_pallas_fold_planned_interpret():
+    """Planned (operand-deduplicating) fold kernel == the stacked jnp fold,
+    incl. uneven group lengths and repeated operands."""
+    import jax.numpy as jnp
+
+    from bls12_381_tpu.kernels import pallas_mont
+
+    nb = 32
+    x = fp.from_ints(rints(nb, P))
+    y = fp.from_ints(rints(nb, P))
+    z = fp.from_ints(rints(nb, P))
+    groups = [
+        [(x, y), (y, z), (x, x)],
+        [(z, z)],
+        [(x, z), (y, y)],
+        [(y, x), (z, x), (z, y)],
+    ]
+    ref = [fp.to_ints(r) for r in lb.sop_fold(lb.FP, groups)]
+    # build the planned call exactly as _sop_fold_planned does
+    ops = [jnp.zeros_like(x), x, y, z]
+    idx = {id(x): 1, id(y): 2, id(z): 3}
+    t = 3
+    import numpy as _np
+
+    ia = _np.zeros((4, t), _np.int32)
+    ib = _np.zeros((4, t), _np.int32)
+    for gi, grp in enumerate(groups):
+        for ti, (a, b) in enumerate(grp):
+            ia[gi, ti] = idx[id(a)]
+            ib[gi, ti] = idx[id(b)]
+    out = pallas_mont.fold_planned_pallas(
+        jnp.stack(ops),
+        jnp.asarray(ia),
+        jnp.asarray(ib),
+        n_limbs=lb.FP.n_limbs,
+        inv16=lb.FP.inv16,
+        p_limbs=tuple(int(v) for v in lb.FP.p_limbs),
+        n_terms=t,
+        block_b=32,
+        interpret=True,
+    )
+    for gi in range(4):
+        got = [int(v) for v in fp.to_ints(out[gi])]
+        assert got == [int(v) for v in ref[gi]], gi
+
+
+def test_pallas_butterfly_interpret():
+    """Fused NTT butterfly kernel == mul/add/sub composition, bit-exact,
+    incl. edge values that exercise both the +p and -p correction paths."""
+    from bls12_381_tpu.fields import fr as frm
+    from bls12_381_tpu.kernels import pallas_mont
+
+    va = [0, 1, Q - 1, Q - 2, 0, Q - 1] + rints(26, Q)
+    vb = [Q - 1, 0, Q - 1, 1, 0, 1] + rints(26, Q)
+    vw = [Q - 1, 5, Q - 1, 1, 7, Q - 1] + rints(26, Q)
+    a, b, w = frm.from_ints(va), frm.from_ints(vb), frm.from_ints(vw)
+    out = pallas_mont.butterfly_pallas(
+        a, b, w,
+        n_limbs=lb.FR.n_limbs,
+        inv16=lb.FR.inv16,
+        p_limbs=tuple(int(x) for x in lb.FR.p_limbs),
+        block_b=32,
+        interpret=True,
+    )
+    lo = [int(v) for v in frm.to_ints(out[0])]
+    hi = [int(v) for v in frm.to_ints(out[1])]
+    for i in range(len(va)):
+        t = vb[i] * vw[i] % Q
+        assert lo[i] == (va[i] + t) % Q, i
+        assert hi[i] == (va[i] - t) % Q, i

@@ -274,3 +274,37 @@ def test_expand_message_xmd_known():
     )
     out = hm.expand_message_xmd(b"", dst, 0x80)
     assert out.hex().startswith("af84c27ccfd45d41914fdff5df25293e")
+
+
+def test_expand_message_xmd_sha512():
+    """draft-16 appendix K.3 vectors (reference tests/expand_msg.rs:361-512):
+    expand_message_xmd with SHA-512."""
+    dst = b"QUUX-V01-CS02-with-expander-SHA512-256"
+    cases_20 = [
+        (b"", "6b9a7312411d92f921c6f68ca0b6380730a1a4d982c507211a90964c394179ba"),
+        (b"abc", "0da749f12fbe5483eb066a5f595055679b976e93abe9be6f0f6318bce7aca8dc"),
+        (
+            b"abcdef0123456789",
+            "087e45a86e2939ee8b91100af1583c4938e0f5fc6c9db4b107b83346bc967f58",
+        ),
+        (
+            b"q128_" + b"q" * 128,
+            "7336234ee9983902440f6bc35b348352013becd88938d2afec44311caf8356b3",
+        ),
+        (
+            b"a512_" + b"a" * 512,
+            "57b5f7e766d5be68a6bfe1768e3c2b7f1228b3e4b3134956dd73a59b954c66f4",
+        ),
+    ]
+    for msg, expected in cases_20:
+        got = hm.expand_message_xmd(msg, dst, 0x20, hash_name="sha512")
+        assert got.hex() == expected, msg[:16]
+    # 0x80-byte expansions exercise the b_i chain (ell > 1)
+    out = hm.expand_message_xmd(b"", dst, 0x80, hash_name="sha512")
+    assert out.hex().startswith("41b037d1734a5f8df225dd8c7de38f851efdb45c")
+    assert out.hex().endswith("78b318bd0e65ebff70bec88c753b159a805d2c89c55961")
+    out = hm.expand_message_xmd(b"abc", dst, 0x80, hash_name="sha512")
+    assert out.hex().startswith("7f1dddd13c08b543f2e2037b14cefb255b44c83c")
+    out = hm.expand_message_xmd(b"abcdef0123456789", dst, 0x80,
+                                hash_name="sha512")
+    assert out.hex().startswith("3f721f208e6199fe903545abc26c837ce59ac6fa")

@@ -48,6 +48,30 @@ def test_msm_sharded_matches_local(cpu_mesh_8):
     assert int(fp.to_ints(aff_l[1])) == int(fp.to_ints(aff_s[1]))
 
 
+def test_msm_g2_sharded_matches_local(cpu_mesh_8):
+    from bls12_381_tpu.curves import g2
+    from bls12_381_tpu.parallel import msm_g2_sharded
+
+    mesh = cpu_mesh_8
+    n = 16
+    ks = [random.randrange(Q) for _ in range(n)]
+    host_pts = [hm.g2_mul(G2_GEN, i + 1) for i in range(n)]
+    pts = g2.from_affine(
+        (
+            tw.fp2_from_ints([p[0] for p in host_pts]),
+            tw.fp2_from_ints([p[1] for p in host_pts]),
+            jnp.zeros((n,), dtype=bool),
+        )
+    )
+    scalars = fr.from_ints(ks)
+    local = msm.msm_g2(pts, scalars, c=4)
+    sharded = msm_g2_sharded(mesh, pts, scalars, c=4)
+    aff_l = g2.to_affine(local)
+    aff_s = g2.to_affine(sharded)
+    for cl, cs in zip(jax.tree.leaves(aff_l), jax.tree.leaves(aff_s)):
+        assert np.array_equal(np.asarray(cl), np.asarray(cs))
+
+
 def test_ntt_sharded_matches_local(cpu_mesh_8):
     mesh = cpu_mesh_8
     # n matches __graft_entry__.dryrun_multichip(8) so the sharded-NTT graph

@@ -57,6 +57,34 @@ def test_msm_with_zero_scalars():
     assert dec_point(out) == expected
 
 
+def test_msm_g2_matches_serial():
+    from bls12_381_tpu.curves import g2
+    from bls12_381_tpu.fields import tower as tw
+    from bls12_381_tpu.params import G2_GEN
+
+    n = 16
+    ks = [random.randrange(Q) for _ in range(n)]
+    base_mults = [random.randrange(1, 1 << 20) for _ in range(n)]
+    host_pts = [hm.g2_mul(G2_GEN, m) for m in base_mults]
+    pts = g2.from_affine(
+        (
+            tw.fp2_from_ints([p[0] for p in host_pts]),
+            tw.fp2_from_ints([p[1] for p in host_pts]),
+            jnp.zeros((n,), dtype=bool),
+        )
+    )
+    out = msm.msm_g2(pts, fr.from_ints(ks), c=4)
+    expected = None
+    for k, p in zip(ks, host_pts):
+        expected = hm.g2_add(expected, hm.g2_mul(p, k))
+    aff = g2.to_affine(out)
+    got = (
+        tuple(int(v) for v in tw.fp2_to_ints(aff[0])),
+        tuple(int(v) for v in tw.fp2_to_ints(aff[1])),
+    )
+    assert got == expected
+
+
 def test_ntt_roundtrip_and_reference_eval():
     n = 32
     coeffs = [random.randrange(Q) for _ in range(n)]

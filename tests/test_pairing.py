@@ -116,13 +116,25 @@ def test_gt_group_ops():
     assert dec12_scalar(g) == hm.pairing(G1_GEN, G2_GEN)
     assert np.asarray(gt.is_identity(gt.sub(g, g))).all()
     assert np.asarray(tw.fp12_eq(gt.double(g), gt.add(g, g))).all()
-    k = 987654321987654321
-    got = gt.scalar_mul(g, fr.from_ints([k]))
-    exp = hm.pairing(hm.g1_mul(G1_GEN, k), G2_GEN)
-    flat = tw.fp12_to_host(got)
-    assert tuple(
-        tuple((int(c2[0][0]), int(c2[1][0])) for c2 in c6) for c6 in flat
-    ) == exp
+    # GLS scalar mul (frobenius split) AND the generic ladder, on edge
+    # scalars that cross the base-|z| digit boundaries
+    from bls12_381_tpu.params import BLS_X
+
+    ks = [987654321987654321, 0, 1, Q - 1, BLS_X**2, BLS_X**3 + 5]
+    got = gt.scalar_mul(g, fr.from_ints(ks))
+    got_gen = gt.scalar_mul_generic(g, fr.from_ints(ks))
+    for i, k in enumerate(ks):
+        exp = (
+            hm.pairing(hm.g1_mul(G1_GEN, k), G2_GEN)
+            if k
+            else hm.FP12_ONE
+        )
+        for dev in (got, got_gen):
+            flat = tw.fp12_to_host(dev)
+            assert tuple(
+                tuple((int(c2[0][i]), int(c2[1][i])) for c2 in c6)
+                for c6 in flat
+            ) == exp, (i, k)
 
 
 def test_cyclotomic_square_matches_full_square():
