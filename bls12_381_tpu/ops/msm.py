@@ -199,7 +199,7 @@ def _msm_window_pipeline(curve_mod, points_proj, digits, c: int):
                     lambda a, b: jnp.concatenate([a, b], axis=-1), s, tail
                 )
             acc = s
-            n = acc[0].shape[-1]
+            n = jax.tree.leaves(acc)[0].shape[-1]
         return jax.tree.map(lambda x: x[..., 0], acc)
 
     # windows high -> low with c doublings between
