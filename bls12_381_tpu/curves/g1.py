@@ -40,6 +40,10 @@ _FNS = FieldFns(
     one=fp.one,
     b=lambda batch: fp.const(params.B_G1, batch),
     batch_of=lambda x: x.shape[1:],
+    add_many=fp.add_many,
+    sub_many=fp.sub_many,
+    b3c=lambda batch: fp.const(3 * params.B_G1, batch),
+    b3c9=lambda batch: fp.const(9 * params.B_G1, batch),
 )
 
 CURVE = Weierstrass(_FNS)

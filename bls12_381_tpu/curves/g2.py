@@ -41,6 +41,14 @@ _FNS = FieldFns(
     one=tw.fp2_one,
     b=lambda batch: tw.fp2_const(params.B_G2, batch),
     batch_of=lambda x: x[0].shape[1:],
+    add_many=tw.fp2_add_many,
+    sub_many=tw.fp2_sub_many,
+    b3c=lambda batch: tw.fp2_const(
+        tuple(3 * c for c in params.B_G2), batch
+    ),
+    b3c9=lambda batch: tw.fp2_const(
+        tuple(9 * c for c in params.B_G2), batch
+    ),
 )
 
 CURVE = Weierstrass(_FNS)

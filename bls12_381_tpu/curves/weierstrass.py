@@ -39,6 +39,13 @@ class FieldFns:
     one: callable       # (batch) -> element
     b: callable         # (batch) -> curve constant b
     batch_of: callable  # element -> batch shape
+    # batched glue: K independent add/sub in ONE carry network — the
+    # launch + carry-lookahead cost of small networks dominates group-law
+    # glue at small batch sizes
+    add_many: callable = None   # [(a,b), ...] -> [a+b, ...]
+    sub_many: callable = None   # [(a,b), ...] -> [a-b, ...]
+    b3c: callable = None        # (batch) -> Montgomery constant 3*b
+    b3c9: callable = None       # (batch) -> Montgomery constant 9*b
 
 
 class Weierstrass:
@@ -97,21 +104,37 @@ class Weierstrass:
         """Algorithm 9 (a = 0)."""
         f = self.f
         x, y, z = p
-        # stage 1: Y^2, Y*Z, Z^2, X*Y
+        if f.add_many is None:
+            # unbatched-glue fallback
+            t0, t1, zz, xy = f.mul_many([(y, y), (y, z), (z, z), (x, y)])
+            t2 = f.mul_b3(zz)
+            z3 = f.add(t0, t0)
+            z3 = f.add(z3, z3)
+            z3 = f.add(z3, z3)
+            y3s = f.add(t0, t2)
+            t2_3 = f.add(f.add(t2, t2), t2)
+            t0d = f.sub(t0, t2_3)
+            x3, z3o, y3a, xo = f.mul_many(
+                [(t2, z3), (t1, z3), (t0d, y3s), (t0d, xy)]
+            )
+            y3 = f.add(x3, y3a)
+            x3o = f.add(xo, xo)
+            return (x3o, y3, z3o)
+        # stage 1: Y^2, Y*Z, Z^2, X*Y; then b3*Z^2 AND 3*b3*Z^2 as one
+        # constant-multiply fold (replaces the mul_by_3b addition ladder)
+        batch = f.batch_of(x)
         t0, t1, zz, xy = f.mul_many([(y, y), (y, z), (z, z), (x, y)])
-        t2 = f.mul_b3(zz)                         # b3 * Z^2 (additions)
-        z3 = f.add(t0, t0)
-        z3 = f.add(z3, z3)
-        z3 = f.add(z3, z3)                        # 8 Y^2
-        y3s = f.add(t0, t2)
-        t2_3 = f.add(f.add(t2, t2), t2)           # 3 t2
+        t2, t2_3 = f.mul_many([(zz, f.b3c(batch)), (zz, f.b3c9(batch))])
+        a1 = f.add_many([(t0, t0), (t0, t2)])
+        t02, y3s = a1
+        t04 = f.add_many([(t02, t02)])[0]
+        z3 = f.add_many([(t04, t04)])[0]          # 8 Y^2
         t0d = f.sub(t0, t2_3)
         # stage 2: t2*Z3, t1*Z3, t0d*y3s, t0d*xy
         x3, z3o, y3a, xo = f.mul_many(
             [(t2, z3), (t1, z3), (t0d, y3s), (t0d, xy)]
         )
-        y3 = f.add(x3, y3a)
-        x3o = f.add(xo, xo)
+        y3, x3o = f.add_many([(x3, y3a), (xo, xo)])
         return (x3o, y3, z3o)
 
     def add(self, p, q):
@@ -119,26 +142,57 @@ class Weierstrass:
         f = self.f
         x1, y1, z1 = p
         x2, y2, z2 = q
-        # stage 1: the six cross products
-        t0, t1, t2, m3, m4, m5 = f.mul_many(
-            [
-                (x1, x2),
-                (y1, y2),
-                (z1, z2),
-                (f.add(x1, y1), f.add(x2, y2)),
-                (f.add(y1, z1), f.add(y2, z2)),
-                (f.add(x1, z1), f.add(x2, z2)),
-            ]
+        if f.add_many is None:
+            t0, t1, t2, m3, m4, m5 = f.mul_many(
+                [
+                    (x1, x2),
+                    (y1, y2),
+                    (z1, z2),
+                    (f.add(x1, y1), f.add(x2, y2)),
+                    (f.add(y1, z1), f.add(y2, z2)),
+                    (f.add(x1, z1), f.add(x2, z2)),
+                ]
+            )
+            t3 = f.sub(m3, f.add(t0, t1))
+            t4 = f.sub(m4, f.add(t1, t2))
+            y3 = f.sub(m5, f.add(t0, t2))
+            t0_3 = f.add(f.add(t0, t0), t0)
+            t2b = f.mul_b3(t2)
+            z3 = f.add(t1, t2b)
+            t1d = f.sub(t1, t2b)
+            y3b = f.mul_b3(y3)
+            a, b, c, d, e, g = f.mul_many(
+                [
+                    (t4, y3b),
+                    (t3, t1d),
+                    (y3b, t0_3),
+                    (t1d, z3),
+                    (t0_3, t3),
+                    (z3, t4),
+                ]
+            )
+            x3 = f.sub(b, a)
+            y3o = f.add(d, c)
+            z3o = f.add(g, e)
+            return (x3, y3o, z3o)
+        batch = f.batch_of(x1)
+        pre = f.add_many(
+            [(x1, y1), (x2, y2), (y1, z1), (y2, z2), (x1, z1), (x2, z2)]
         )
-        t3 = f.sub(m3, f.add(t0, t1))
-        t4 = f.sub(m4, f.add(t1, t2))
-        y3 = f.sub(m5, f.add(t0, t2))
-        t0_3 = f.add(f.add(t0, t0), t0)
-        t2b = f.mul_b3(t2)
-        z3 = f.add(t1, t2b)
-        t1d = f.sub(t1, t2b)
-        y3b = f.mul_b3(y3)
-        # stage 2
+        t0, t1, t2, m3, m4, m5 = f.mul_many(
+            [(x1, x2), (y1, y2), (z1, z2),
+             (pre[0], pre[1]), (pre[2], pre[3]), (pre[4], pre[5])]
+        )
+        s = f.add_many([(t0, t1), (t1, t2), (t0, t2), (t0, t0)])
+        subs = f.sub_many([(m3, s[0]), (m4, s[1]), (m5, s[2])])
+        t3, t4, y3 = subs
+        t0_3 = f.add_many([(s[3], t0)])[0]
+        # constant-multiply fold replaces the two mul_by_3b ladders
+        t2b, y3b = f.mul_many(
+            [(t2, f.b3c(batch)), (y3, f.b3c(batch))]
+        )
+        z3 = f.add_many([(t1, t2b)])[0]
+        t1d = f.sub_many([(t1, t2b)])[0]
         a, b, c, d, e, g = f.mul_many(
             [
                 (t4, y3b),
@@ -149,9 +203,8 @@ class Weierstrass:
                 (z3, t4),
             ]
         )
-        x3 = f.sub(b, a)
-        y3o = f.add(d, c)
-        z3o = f.add(g, e)
+        x3 = f.sub_many([(b, a)])[0]
+        y3o, z3o = f.add_many([(d, c), (g, e)])
         return (x3, y3o, z3o)
 
     def add_mixed(self, p, aff):
@@ -160,25 +213,58 @@ class Weierstrass:
         f = self.f
         x1, y1, z1 = p
         x2, y2, inf2 = aff
-        # stage 1
-        t0, t1, m3, xz, yz = f.mul_many(
+        if f.add_many is None:
+            t0, t1, m3, xz, yz = f.mul_many(
+                [
+                    (x1, x2),
+                    (y1, y2),
+                    (f.add(x2, y2), f.add(x1, y1)),
+                    (x2, z1),
+                    (y2, z1),
+                ]
+            )
+            t3 = f.sub(m3, f.add(t0, t1))
+            t4 = f.add(yz, y1)
+            y3m = f.add(xz, x1)
+            t0_3 = f.add(f.add(t0, t0), t0)
+            t2 = f.mul_b3(z1)
+            z3 = f.add(t1, t2)
+            t1d = f.sub(t1, t2)
+            y3b = f.mul_b3(y3m)
+            a, b, c, d, e, g = f.mul_many(
+                [
+                    (t4, y3b),
+                    (t3, t1d),
+                    (y3b, t0_3),
+                    (t1d, z3),
+                    (t0_3, t3),
+                    (z3, t4),
+                ]
+            )
+            out = (f.sub(b, a), f.add(d, c), f.add(g, e))
+            return tuple(f.select(inf2, a_, b_) for a_, b_ in zip(p, out))
+        batch = f.batch_of(x1)
+        pre = f.add_many([(x2, y2), (x1, y1)])
+        # stage 1 + b3*Z1 folded in as a constant multiply
+        t0, t1, m3, xz, yz, t2 = f.mul_many(
             [
                 (x1, x2),
                 (y1, y2),
-                (f.add(x2, y2), f.add(x1, y1)),
+                (pre[0], pre[1]),
                 (x2, z1),
                 (y2, z1),
+                (z1, f.b3c(batch)),
             ]
         )
-        t3 = f.sub(m3, f.add(t0, t1))
-        t4 = f.add(yz, y1)
-        y3m = f.add(xz, x1)
-        t0_3 = f.add(f.add(t0, t0), t0)
-        t2 = f.mul_b3(z1)
-        z3 = f.add(t1, t2)
-        t1d = f.sub(t1, t2)
-        y3b = f.mul_b3(y3m)
-        # stage 2
+        s = f.add_many(
+            [(t0, t1), (yz, y1), (xz, x1), (t0, t0), (t1, t2)]
+        )
+        t4, y3m, z3 = s[1], s[2], s[4]
+        t3 = f.sub_many([(m3, s[0]), (t1, t2)])
+        t1d = t3[1]
+        t3 = t3[0]
+        t0_3 = f.add_many([(s[3], t0)])[0]
+        y3b = f.mul(y3m, f.b3c(batch))
         a, b, c, d, e, g = f.mul_many(
             [
                 (t4, y3b),
@@ -189,7 +275,9 @@ class Weierstrass:
                 (z3, t4),
             ]
         )
-        out = (f.sub(b, a), f.add(d, c), f.add(g, e))
+        x3 = f.sub_many([(b, a)])[0]
+        y3o, z3o = f.add_many([(d, c), (g, e)])
+        out = (x3, y3o, z3o)
         # affine identity -> return p unchanged
         return tuple(f.select(inf2, a_, b_) for a_, b_ in zip(p, out))
 

@@ -21,6 +21,8 @@ sqr = lambda a: limbs.mont_sqr(FP, a)  # noqa: E731
 sop = lambda pairs: limbs.sum_of_products(FP, pairs)  # noqa: E731
 sop_fold = lambda groups: limbs.sop_fold(FP, groups)  # noqa: E731
 mul_many = lambda pairs: limbs.mul_many(FP, pairs)  # noqa: E731
+add_many = lambda pairs: limbs.add_many(FP, pairs)  # noqa: E731
+sub_many = lambda pairs: limbs.sub_many(FP, pairs)  # noqa: E731
 select = limbs.select
 is_zero = limbs.is_zero
 eq = limbs.eq

@@ -38,7 +38,12 @@ def fp2_neg(a):
 
 class _Combos:
     """Per-expression cache of derived operand forms (negations and the
-    xi-combinations y0-y1 / y0+y1), so each is traced at most once."""
+    xi-combinations y0-y1 / y0+y1), so each is traced at most once.
+
+    `prefill(terms)` batch-resolves every form a term list will need in
+    three fused carry networks (limbs.add_many/sub_many) instead of one
+    network per form — the launch/carry overhead of those small networks
+    dominates the tower glue at small batch sizes."""
 
     def __init__(self):
         self._neg = {}
@@ -56,6 +61,52 @@ class _Combos:
         if key not in self._pm:
             self._pm[key] = (fp.sub(y[0], y[1]), fp.add(y[0], y[1]), y)
         return self._pm[key][:2]
+
+    def prefill(self, terms):
+        """terms: list of (x, y, use_xi) as passed to _fp2_term_groups.
+        Resolves, deduplicated: per plain term neg(y1); per xi term
+        (y0-y1, y0+y1) and neg(y0+y1).  Phase A: one sub network (ym's and
+        plain negs, as 0 - y1); phase B: one add network (yp's); phase C:
+        one sub network (neg yp's)."""
+        pm_keys, pm_ys = [], []
+        neg_keys, neg_xs = [], []
+        zero = None
+        for _, y, use_xi in terms:
+            if use_xi:
+                key = (id(y[0]), id(y[1]))
+                if key not in self._pm and key not in pm_keys:
+                    pm_keys.append(key)
+                    pm_ys.append(y)
+            else:
+                key = id(y[1])
+                if key not in self._neg and key not in neg_keys:
+                    neg_keys.append(key)
+                    neg_xs.append(y[1])
+        if not pm_keys and len(neg_keys) <= 1:
+            return  # nothing to batch
+        if neg_xs or pm_keys:
+            zero = fp.zero(
+                jnp_broadcast_batch([x for x in neg_xs]
+                                    + [c for y in pm_ys for c in y])
+            )
+        subs = [(y[0], y[1]) for y in pm_ys] + [(zero, x) for x in neg_xs]
+        sub_out = fp.sub_many(subs) if subs else []
+        adds = [(y[0], y[1]) for y in pm_ys]
+        add_out = fp.add_many(adds) if adds else []
+        for i, key in enumerate(pm_keys):
+            self._pm[key] = (sub_out[i], add_out[i], pm_ys[i])
+        for j, key in enumerate(neg_keys):
+            self._neg[key] = (sub_out[len(pm_keys) + j], neg_xs[j])
+        if add_out:
+            neg_yp = fp.sub_many([(zero, yp) for yp in add_out])
+            for yp, nyp in zip(add_out, neg_yp):
+                self._neg[id(yp)] = (nyp, yp)
+
+
+def jnp_broadcast_batch(tensors):
+    import jax.numpy as jnp
+
+    return jnp.broadcast_shapes(*[t.shape[1:] for t in tensors])
 
 
 def _fp2_term_groups(terms, cb: _Combos):
@@ -98,6 +149,7 @@ def fp2_sqr(a):
 def fp2_mul_many(pairs):
     """Independent Fp2 products folded into one reduction; returns a list."""
     cb = _Combos()
+    cb.prefill([(a, b, False) for a, b in pairs])
     groups = []
     for a, b in pairs:
         c0g, c1g = _fp2_term_groups([(a, b, False)], cb)
@@ -108,6 +160,24 @@ def fp2_mul_many(pairs):
 
 def fp2_mul_fp(a, s):
     return (fp.mul(a[0], s), fp.mul(a[1], s))
+
+
+def fp2_add_many(pairs):
+    """K independent Fp2 additions in one fused carry network."""
+    flat = fp.add_many(
+        [(a[0], b[0]) for a, b in pairs] + [(a[1], b[1]) for a, b in pairs]
+    )
+    k = len(pairs)
+    return [(flat[i], flat[k + i]) for i in range(k)]
+
+
+def fp2_sub_many(pairs):
+    """K independent Fp2 subtractions in one fused borrow network."""
+    flat = fp.sub_many(
+        [(a[0], b[0]) for a, b in pairs] + [(a[1], b[1]) for a, b in pairs]
+    )
+    k = len(pairs)
+    return [(flat[i], flat[k + i]) for i in range(k)]
 
 
 def fp2_mul_by_nonresidue(a):
@@ -258,6 +328,16 @@ def fp6_neg(a):
     return tuple(fp2_neg(x) for x in a)
 
 
+def _fp6_mul_terms(a, b):
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    return [
+        (a0, b0, False), (a1, b2, True), (a2, b1, True),
+        (a0, b1, False), (a1, b0, False), (a2, b2, True),
+        (a0, b2, False), (a1, b1, False), (a2, b0, False),
+    ]
+
+
 def _fp6_mul_groups(a, b, cb: _Combos):
     """The six Fp-level sop groups of an Fp6 product (fp6.rs:195-274 analog):
       c0 = a0 b0 + xi (a1 b2 + a2 b1)
@@ -265,12 +345,11 @@ def _fp6_mul_groups(a, b, cb: _Combos):
       c2 = a0 b2 + a1 b1 + a2 b0
     Each output Fp component is one fused 6-term group.
     """
-    a0, a1, a2 = a
-    b0, b1, b2 = b
+    t = _fp6_mul_terms(a, b)
     g = []
-    g += _fp2_term_groups([(a0, b0, False), (a1, b2, True), (a2, b1, True)], cb)
-    g += _fp2_term_groups([(a0, b1, False), (a1, b0, False), (a2, b2, True)], cb)
-    g += _fp2_term_groups([(a0, b2, False), (a1, b1, False), (a2, b0, False)], cb)
+    g += _fp2_term_groups(t[0:3], cb)
+    g += _fp2_term_groups(t[3:6], cb)
+    g += _fp2_term_groups(t[6:9], cb)
     return g  # 6 groups: [c0c0, c0c1, c1c0, c1c1, c2c0, c2c1]
 
 
@@ -281,6 +360,7 @@ def _fp6_from_flat(flat):
 def fp6_mul(a, b):
     """Full interleaved product: ONE fused fold of 6 six-term groups."""
     cb = _Combos()
+    cb.prefill(_fp6_mul_terms(a, b))
     flat = fp.sop_fold(_fp6_mul_groups(a, b, cb))
     return _fp6_from_flat(flat)
 
@@ -288,6 +368,7 @@ def fp6_mul(a, b):
 def fp6_mul_many(pairs):
     """Independent Fp6 products folded into one reduction; returns a list."""
     cb = _Combos()
+    cb.prefill([t for a, b in pairs for t in _fp6_mul_terms(a, b)])
     groups = []
     for a, b in pairs:
         groups += _fp6_mul_groups(a, b, cb)
@@ -307,33 +388,57 @@ def fp6_sqr(a):
     """Dedicated CH-SQR squaring (fp6.rs:277-291): 5 Fp2 products
       s0 = c0^2, ab = c0 c1, s2 = (c0 - c1 + c2)^2, bc = c1 c2, s4 = c2^2
     as ONE fused fold of 10 groups (T <= 2) — ~1.4x fewer limb MACs than the
-    36-term full product."""
+    36-term full product.  All glue adds/subs batched into phased networks.
+    """
     c0, c1, c2 = a
-    cb = _Combos()
-    t = fp2_add(fp2_sub(c0, c1), c2)
-    groups = (
-        _fp2_sqr_groups(c0)
-        + list(_fp2_term_groups([(c0, c1, False)], cb))
-        + _fp2_sqr_groups(t)
-        + list(_fp2_term_groups([(c1, c2, False)], cb))
-        + _fp2_sqr_groups(c2)
+    d01 = fp.sub_many([(c0[0], c1[0]), (c0[1], c1[1])])
+    tq = fp.add_many([(d01[0], c2[0]), (d01[1], c2[1])])
+    t = (tq[0], tq[1])
+    # complex-squaring combos (x0+x1, x0-x1) for c0, t, c2 + product negs
+    zero = fp.zero(c0[0].shape[1:])
+    p3 = fp.add_many([(x[0], x[1]) for x in (c0, t, c2)])
+    p4 = fp.sub_many(
+        [(x[0], x[1]) for x in (c0, t, c2)]
+        + [(zero, c1[1]), (zero, c2[1])]
     )
-    flat = fp.sop_fold(groups)
-
-    def sq_out(g0, g1):
-        return (g0, fp.add(g1, g1))
-
-    s0 = sq_out(flat[0], flat[1])
-    ab = (flat[2], flat[3])
-    s1 = fp2_add(ab, ab)
-    s2 = sq_out(flat[4], flat[5])
-    bc = (flat[6], flat[7])
-    s3 = fp2_add(bc, bc)
-    s4 = sq_out(flat[8], flat[9])
+    n_c1_1, n_c2_1 = p4[3], p4[4]
+    groups = [
+        [(p3[0], p4[0])], [(c0[0], c0[1])],            # s0 = c0^2
+        [(c0[0], c1[0]), (c0[1], n_c1_1)],             # ab c0
+        [(c0[0], c1[1]), (c0[1], c1[0])],              # ab c1
+        [(p3[1], p4[1])], [(t[0], t[1])],              # s2 = t^2
+        [(c1[0], c2[0]), (c1[1], n_c2_1)],             # bc c0
+        [(c1[0], c2[1]), (c1[1], c2[0])],              # bc c1
+        [(p3[2], p4[2])], [(c2[0], c2[1])],            # s4 = c2^2
+    ]
+    f = fp.sop_fold(groups)
+    # doubles: s0.c1 = 2 f1, s1 = 2 ab, s2.c1 = 2 f5, s3 = 2 bc, s4.c1 = 2 f9
+    d = fp.add_many(
+        [(f[1], f[1]), (f[2], f[2]), (f[3], f[3]), (f[5], f[5]),
+         (f[6], f[6]), (f[7], f[7]), (f[9], f[9])]
+    )
+    s0 = (f[0], d[0])
+    s1 = (d[1], d[2])
+    s2 = (f[4], d[3])
+    s3 = (d[4], d[5])
+    s4 = (f[8], d[6])
+    # out0 = xi(s3)+s0 ; out1 = xi(s4)+s1 ; out2 = s1+s2+s3-s0-s4
+    p6a = fp.add_many(
+        [(s3[0], s3[1]), (s4[0], s4[1]),
+         (s1[0], s2[0]), (s1[1], s2[1]),
+         (s0[0], s4[0]), (s0[1], s4[1])]
+    )
+    p6s = fp.sub_many([(s3[0], s3[1]), (s4[0], s4[1])])
+    p7 = fp.add_many(
+        [(p6s[0], s0[0]), (p6a[0], s0[1]),
+         (p6s[1], s1[0]), (p6a[1], s1[1]),
+         (p6a[2], s3[0]), (p6a[3], s3[1])]
+    )
+    p8 = fp.sub_many([(p7[4], p6a[4]), (p7[5], p6a[5])])
     return (
-        fp2_add(fp2_mul_by_nonresidue(s3), s0),
-        fp2_add(fp2_mul_by_nonresidue(s4), s1),
-        fp2_sub(fp2_add(fp2_add(s1, s2), s3), fp2_add(s0, s4)),
+        (p7[0], p7[1]),
+        (p7[2], p7[3]),
+        (p8[0], p8[1]),
     )
 
 
@@ -347,21 +452,31 @@ def fp6_mul_by_0(a, g0):
     return (fp2_mul(a[0], g0), fp2_mul(a[1], g0), fp2_mul(a[2], g0))
 
 
+def _fp6_mul_by_12_terms(a, g1, g2):
+    return [
+        (a[2], g1, True), (a[1], g2, True),
+        (a[0], g1, False), (a[2], g2, True),
+        (a[1], g1, False), (a[0], g2, False),
+    ]
+
+
 def _fp6_mul_by_12_groups(a, g1, g2, cb: _Combos):
     """Groups for a * (g1 v + g2 v^2):
       c0 = xi (a2 g1 + a1 g2)
       c1 = a0 g1 + xi (a2 g2)
       c2 = a1 g1 + a0 g2
     """
+    t = _fp6_mul_by_12_terms(a, g1, g2)
     g = []
-    g += _fp2_term_groups([(a[2], g1, True), (a[1], g2, True)], cb)
-    g += _fp2_term_groups([(a[0], g1, False), (a[2], g2, True)], cb)
-    g += _fp2_term_groups([(a[1], g1, False), (a[0], g2, False)], cb)
+    g += _fp2_term_groups(t[0:2], cb)
+    g += _fp2_term_groups(t[2:4], cb)
+    g += _fp2_term_groups(t[4:6], cb)
     return g
 
 
 def fp6_mul_by_12(a, g1, g2):
     cb = _Combos()
+    cb.prefill(_fp6_mul_by_12_terms(a, g1, g2))
     flat = fp.sop_fold(_fp6_mul_by_12_groups(a, g1, g2, cb))
     return _fp6_from_flat(flat)
 
@@ -421,31 +536,72 @@ def fp12_add(a, b):
     return (fp6_add(a[0], b[0]), fp6_add(a[1], b[1]))
 
 
+def _fp6_halves(x6):
+    return [c for fp2c in x6 for c in fp2c]  # 6 Fp components
+
+
 def fp12_mul(a, b):
     """Karatsuba over Fp6 — three independent Fp6 products in ONE fold
-    (fp12.rs:197-213)."""
-    t0, t1, t2 = fp6_mul_many(
-        [
-            (a[0], b[0]),
-            (a[1], b[1]),
-            (fp6_add(a[0], a[1]), fp6_add(b[0], b[1])),
-        ]
+    (fp12.rs:197-213); all glue adds/subs batched into 4 carry networks."""
+    sums = fp2_add_many(
+        [(a[0][i], a[1][i]) for i in range(3)]
+        + [(b[0][i], b[1][i]) for i in range(3)]
     )
-    c0 = fp6_add(t0, fp6_mul_by_nonresidue(t1))
-    c1 = fp6_sub(fp6_sub(t2, t0), t1)
+    sa = tuple(sums[0:3])
+    sb = tuple(sums[3:6])
+    t0, t1, t2 = fp6_mul_many([(a[0], b[0]), (a[1], b[1]), (sa, sb)])
+    # c1 = t2 - t0 - t1 (two chained borrow networks)
+    # c0 = t0 + xi*t1 with xi*t1 = (fp2_nonres(t1[2]), t1[0], t1[1])
+    d = fp.sub_many(
+        [(x, y) for x, y in zip(_fp6_halves(t2), _fp6_halves(t0))]
+        + [(t1[2][0], t1[2][1])]
+    )
+    xi_t1_c0_r = fp.add_many([(t1[2][0], t1[2][1])])[0]
+    xi_t1 = ((d[6], xi_t1_c0_r), t1[0], t1[1])
+    c1_flat = fp.sub_many(
+        [(x, y) for x, y in zip(d[0:6], _fp6_halves(t1))]
+    )
+    c0_flat = fp.add_many(
+        [(x, y) for x, y in zip(_fp6_halves(t0), _fp6_halves(xi_t1))]
+    )
+    c0 = ((c0_flat[0], c0_flat[1]), (c0_flat[2], c0_flat[3]),
+          (c0_flat[4], c0_flat[5]))
+    c1 = ((c1_flat[0], c1_flat[1]), (c1_flat[2], c1_flat[3]),
+          (c1_flat[4], c1_flat[5]))
     return (c0, c1)
 
 
 def fp12_sqr(a):
-    """(c0 + c1 w)^2 with 2 folded Fp6 muls (fp12.rs:174-185)."""
-    ab, t = fp6_mul_many(
-        [
-            (a[0], a[1]),
-            (fp6_add(a[0], a[1]), fp6_add(a[0], fp6_mul_by_nonresidue(a[1]))),
-        ]
+    """(c0 + c1 w)^2 with 2 folded Fp6 muls (fp12.rs:174-185); glue
+    batched."""
+    # pre: s = a0 + a1; u = a0 + xi*a1 (xi*a1 = (nonres(a1[2]), a1[0], a1[1]))
+    nr = fp.sub_many([(a[1][2][0], a[1][2][1])])[0]
+    nr_i = fp.add_many([(a[1][2][0], a[1][2][1])])[0]
+    xi_a1 = ((nr, nr_i), a[1][0], a[1][1])
+    pre = fp.add_many(
+        [(x, y) for x, y in zip(_fp6_halves(a[0]), _fp6_halves(a[1]))]
+        + [(x, y) for x, y in zip(_fp6_halves(a[0]), _fp6_halves(xi_a1))]
     )
-    c0 = fp6_sub(fp6_sub(t, ab), fp6_mul_by_nonresidue(ab))
-    c1 = fp6_add(ab, ab)
+    s = ((pre[0], pre[1]), (pre[2], pre[3]), (pre[4], pre[5]))
+    u = ((pre[6], pre[7]), (pre[8], pre[9]), (pre[10], pre[11]))
+    ab, t = fp6_mul_many([(a[0], a[1]), (s, u)])
+    # c0 = t - ab - xi*ab ; c1 = 2 ab
+    nrab = fp.sub_many(
+        [(x, y) for x, y in zip(_fp6_halves(t), _fp6_halves(ab))]
+        + [(ab[2][0], ab[2][1])]
+    )
+    nrab_i = fp.add_many(
+        [(ab[2][0], ab[2][1])]
+        + [(x, x) for x in _fp6_halves(ab)]
+    )
+    xi_ab = ((nrab[6], nrab_i[0]), ab[0], ab[1])
+    c0_flat = fp.sub_many(
+        [(x, y) for x, y in zip(nrab[0:6], _fp6_halves(xi_ab))]
+    )
+    c0 = ((c0_flat[0], c0_flat[1]), (c0_flat[2], c0_flat[3]),
+          (c0_flat[4], c0_flat[5]))
+    c1 = ((nrab_i[1], nrab_i[2]), (nrab_i[3], nrab_i[4]),
+          (nrab_i[5], nrab_i[6]))
     return (c0, c1)
 
 
@@ -466,40 +622,72 @@ def fp12_cyclotomic_sqr(f):
     (a0, a1, a2), (b0, b1, b2) = f
 
     # all nine fp2 squarings in one fold: for each fp4 pair (x, y):
-    # x^2, y^2, (x+y)^2
-    sums = [fp2_add(a0, b1), fp2_add(b0, a2), fp2_add(a1, b2)]
-    sq = fp2_mul_many(
-        [
-            (a0, a0), (b1, b1), (sums[0], sums[0]),
-            (b0, b0), (a2, a2), (sums[1], sums[1]),
-            (a1, a1), (b2, b2), (sums[2], sums[2]),
-        ]
+    # x^2, y^2, (x+y)^2 — via COMPLEX squaring groups (T = 1: ((v0+v1)(v0-v1),
+    # 2 v0 v1)), with all glue adds/subs batched into phased carry networks
+    # (they dominate at small batch sizes).
+    sums = fp2_add_many([(a0, b1), (b0, a2), (a1, b2)])
+    vals = [a0, b1, sums[0], b0, a2, sums[1], a1, b2, sums[2]]
+    vs = fp.add_many([(v[0], v[1]) for v in vals])
+    vd = fp.sub_many([(v[0], v[1]) for v in vals])
+    f9 = fp.sop_fold(
+        [g for k in range(9) for g in ([(vs[k], vd[k])],
+                                       [(vals[k][0], vals[k][1])])]
     )
-
-    def fp4_out(x2, y2, s2):
-        c0 = fp2_add(fp2_mul_by_nonresidue(y2), x2)       # x^2 + xi y^2
-        c1 = fp2_sub(fp2_sub(s2, x2), y2)                 # 2xy
-        return c0, c1
-
-    t00, t01 = fp4_out(sq[0], sq[1], sq[2])  # g0^2 over (a0, b1)
-    t10, t11 = fp4_out(sq[3], sq[4], sq[5])  # g1^2 over (b0, a2)
-    t20, t21 = fp4_out(sq[6], sq[7], sq[8])  # g2^2 over (a1, b2)
-
-    def three_minus_two(t, z):
-        u = fp2_sub(t, z)
-        return fp2_add(fp2_add(u, u), t)
-
-    def three_plus_two(t, z):
-        u = fp2_add(t, z)
-        return fp2_add(fp2_add(u, u), t)
-
-    na0 = three_minus_two(t00, a0)
-    nb1 = three_plus_two(t01, b1)
-    na1 = three_minus_two(t10, a1)
-    nb2 = three_plus_two(t11, b2)
-    xt21 = fp2_mul_by_nonresidue(t21)
-    nb0 = three_plus_two(xt21, b0)
-    na2 = three_minus_two(t20, a2)
+    dbl = fp.add_many([(f9[2 * k + 1], f9[2 * k + 1]) for k in range(9)])
+    sq = [(f9[2 * k], dbl[k]) for k in range(9)]
+    x2s = [sq[0], sq[3], sq[6]]
+    y2s = [sq[1], sq[4], sq[7]]
+    s2s = [sq[2], sq[5], sq[8]]
+    # P2 (subs): xi(y2) real part per block; c1 part1 = s2 - x2
+    p2 = fp.sub_many(
+        [(y2[0], y2[1]) for y2 in y2s]
+        + [(s2[i], x2[i]) for s2, x2 in zip(s2s, x2s) for i in range(2)]
+    )
+    xiy_r = p2[0:3]
+    part1 = [(p2[3], p2[4]), (p2[5], p2[6]), (p2[7], p2[8])]
+    # P3 (adds): xi(y2) imag part
+    xiy_i = fp.add_many([(y2[0], y2[1]) for y2 in y2s])
+    # P4: c0 = xi(y2) + x2 (adds); c1 = part1 - y2 (subs)
+    p4a = fp.add_many(
+        [(xiy_r[k], x2s[k][0]) for k in range(3)]
+        + [(xiy_i[k], x2s[k][1]) for k in range(3)]
+    )
+    p4s = fp.sub_many(
+        [(part1[k][i], y2s[k][i]) for k in range(3) for i in range(2)]
+    )
+    t0_ = [(p4a[k], p4a[3 + k]) for k in range(3)]   # c0 per block
+    t1_ = [(p4s[2 * k], p4s[2 * k + 1]) for k in range(3)]  # c1 per block
+    t00, t10, t20 = t0_
+    t01, t11, t21 = t1_
+    # P5: u-subs for the 3t-2z outputs + xi(t21) real part
+    p5 = fp.sub_many(
+        [(t21[0], t21[1])]
+        + [(t00[i], a0[i]) for i in range(2)]
+        + [(t10[i], a1[i]) for i in range(2)]
+        + [(t20[i], a2[i]) for i in range(2)]
+    )
+    xt21 = (p5[0], fp.add_many([(t21[0], t21[1])])[0])
+    u_m = [(p5[1], p5[2]), (p5[3], p5[4]), (p5[5], p5[6])]  # t00-a0 etc.
+    # P6: u-adds for the 3t+2z outputs
+    p6 = fp.add_many(
+        [(t01[i], b1[i]) for i in range(2)]
+        + [(t11[i], b2[i]) for i in range(2)]
+        + [(xt21[i], b0[i]) for i in range(2)]
+    )
+    u_p = [(p6[0], p6[1]), (p6[2], p6[3]), (p6[4], p6[5])]
+    # P7: double all six u's; P8: add back t
+    us = u_m + u_p
+    ts = [t00, t10, t20, t01, t11, xt21]
+    p7 = fp.add_many([(u[i], u[i]) for u in us for i in range(2)])
+    p8 = fp.add_many(
+        [(p7[2 * k + i], ts[k][i]) for k in range(6) for i in range(2)]
+    )
+    na0 = (p8[0], p8[1])
+    na1 = (p8[2], p8[3])
+    na2 = (p8[4], p8[5])
+    nb1 = (p8[6], p8[7])
+    nb2 = (p8[8], p8[9])
+    nb0 = (p8[10], p8[11])
     return ((na0, na1, na2), (nb0, nb1, nb2))
 
 
@@ -531,6 +719,10 @@ def fp12_mul_by_045(f, g0, g4, g5):
         = f0 g0 + f1 B v  +  (f1 g0 + f0 B) w,   B = g4 v + g5 v^2.
     """
     cb = _Combos()
+    terms = [(comp, g0, False) for part in (f[0], f[1]) for comp in part]
+    terms += _fp6_mul_by_12_terms(f[1], g4, g5)
+    terms += _fp6_mul_by_12_terms(f[0], g4, g5)
+    cb.prefill(terms)
     groups = []
     for part in (f[0], f[1]):  # part * g0: three fp2 muls each
         for comp in part:
@@ -538,12 +730,21 @@ def fp12_mul_by_045(f, g0, g4, g5):
     groups += _fp6_mul_by_12_groups(f[1], g4, g5, cb)
     groups += _fp6_mul_by_12_groups(f[0], g4, g5, cb)
     flat = fp.sop_fold(groups)
-    a = _fp6_from_flat(flat[0:6])     # f0 g0
-    a2 = _fp6_from_flat(flat[6:12])   # f1 g0
+    a = flat[0:6]      # f0 g0 (halves)
+    a2 = flat[6:12]    # f1 g0
     b = _fp6_from_flat(flat[12:18])   # f1 B
-    b2 = _fp6_from_flat(flat[18:24])  # f0 B
-    c0 = fp6_add(a, fp6_mul_by_nonresidue(b))
-    c1 = fp6_add(a2, b2)
+    b2 = flat[18:24]   # f0 B
+    # c0 = a + xi*b ; c1 = a2 + b2 — batched glue (one sub + one add net)
+    xib_c0 = fp.sub_many([(b[2][0], b[2][1])])[0]
+    xib = [xib_c0, None, b[0][0], b[0][1], b[1][0], b[1][1]]
+    out = fp.add_many(
+        [(b[2][0], b[2][1])]                      # xi*b c0.c1
+        + [(a[i], x) for i, x in enumerate(xib) if x is not None]
+        + [(x, y) for x, y in zip(a2, b2)]
+    )
+    c0c01 = fp.add_many([(a[1], out[0])])[0]
+    c0 = ((out[1], c0c01), (out[2], out[3]), (out[4], out[5]))
+    c1 = ((out[6], out[7]), (out[8], out[9]), (out[10], out[11]))
     return (c0, c1)
 
 

@@ -230,6 +230,40 @@ def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return add(spec, a, a)
 
 
+def add_many(spec: FieldSpec, pairs):
+    """K independent modular additions folded into ONE carry network.
+
+    At small batch sizes the per-op launch + carry-lookahead cost dominates
+    elementwise work, so stacking K adds into [L, K, *batch] makes the whole
+    group cost one network (the glue analog of sop_fold).  Returns a list.
+    """
+    if len(pairs) == 1:
+        return [add(spec, *pairs[0])]
+    batch = jnp.broadcast_shapes(*[x.shape[1:] for p in pairs for x in p])
+    full = (spec.n_limbs,) + batch
+    a = jnp.stack([jnp.broadcast_to(x, full) for x, _ in pairs], axis=1)
+    b = jnp.stack([jnp.broadcast_to(y, full) for _, y in pairs], axis=1)
+    t = _carry_prop_1bit(a + b, spec.n_limbs + 1)
+    out = _cond_sub_p(spec, t)
+    return [out[:, i] for i in range(len(pairs))]
+
+
+def sub_many(spec: FieldSpec, pairs):
+    """K independent modular subtractions in ONE borrow network."""
+    if len(pairs) == 1:
+        return [sub(spec, *pairs[0])]
+    batch = jnp.broadcast_shapes(*[x.shape[1:] for p in pairs for x in p])
+    full = (spec.n_limbs,) + batch
+    a = jnp.stack([jnp.broadcast_to(x, full) for x, _ in pairs], axis=1)
+    b = jnp.stack([jnp.broadcast_to(y, full) for _, y in pairs], axis=1)
+    diff, borrow = _sub_limbs(a, b, spec.n_limbs)
+    p = _bcast(spec.p_limbs, diff)
+    fixed = _carry_prop_1bit(
+        diff + jnp.where(borrow[None] != 0, p, jnp.uint32(0)), spec.n_limbs
+    )
+    return [fixed[:, i] for i in range(len(pairs))]
+
+
 # ---------------------------------------------------------------------------
 # Montgomery multiplication (the hot path)
 # ---------------------------------------------------------------------------

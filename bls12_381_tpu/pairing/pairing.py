@@ -82,12 +82,32 @@ def _dbl_line(t):
     xxx, yyz, yzz, xxz = tw.fp2_mul_many(
         [(xx, x), (yy, z), (yz, z), (xx, z)]
     )
-    xxx3 = tw.fp2_add(tw.fp2_add(xxx, xxx), xxx)  # 3X^3
-    yyz2 = tw.fp2_add(yyz, yyz)  # 2 Y^2 Z
-    a = tw.fp2_mul_by_nonresidue(tw.fp2_add(yzz, yzz))  # xi * 2 Y Z^2
-    b = tw.fp2_sub(xxx3, yyz2)
-    xxz3 = tw.fp2_add(tw.fp2_add(xxz, xxz), xxz)
-    c = tw.fp2_neg(xxz3)
+    # glue in 3 fused carry networks (doubles; +thirds & xi-add; subs/negs)
+    from ..fields import fp as _fp
+
+    zero = _fp.zero(x[0].shape[1:])
+    p1 = _fp.add_many(
+        [(v[i], v[i]) for v in (xxx, yyz, yzz, xxz) for i in range(2)]
+    )
+    xxx2, yyz2, yzz2, xxz2 = (
+        (p1[0], p1[1]), (p1[2], p1[3]), (p1[4], p1[5]), (p1[6], p1[7])
+    )
+    p2 = _fp.add_many(
+        [(xxx2[0], xxx[0]), (xxx2[1], xxx[1]),
+         (xxz2[0], xxz[0]), (xxz2[1], xxz[1]),
+         (yzz2[0], yzz2[1])]
+    )
+    xxx3 = (p2[0], p2[1])
+    xxz3 = (p2[2], p2[3])
+    a_c1 = p2[4]
+    p3 = _fp.sub_many(
+        [(xxx3[0], yyz2[0]), (xxx3[1], yyz2[1]),
+         (yzz2[0], yzz2[1]),
+         (zero, xxz3[0]), (zero, xxz3[1])]
+    )
+    b = (p3[0], p3[1])
+    a = (p3[2], a_c1)
+    c = (p3[3], p3[4])
     return (a, b, c)
 
 
@@ -99,15 +119,22 @@ def _add_line(t, q_aff):
         b = N xq - yq D      with N = Y - yq Z
         c = -N
     """
+    from ..fields import fp as _fp
+
     x, y, z = t
     xq, yq = q_aff
     xqz, yqz = tw.fp2_mul_many([(xq, z), (yq, z)])
-    d = tw.fp2_sub(x, xqz)
-    n = tw.fp2_sub(y, yqz)
-    a = tw.fp2_mul_by_nonresidue(d)
+    d, n = tw.fp2_sub_many([(x, xqz), (y, yqz)])
     nxq, yqd = tw.fp2_mul_many([(n, xq), (yq, d)])
-    b = tw.fp2_sub(nxq, yqd)
-    c = tw.fp2_neg(n)
+    zero = _fp.zero(x[0].shape[1:])
+    s = _fp.sub_many(
+        [(d[0], d[1]),
+         (nxq[0], yqd[0]), (nxq[1], yqd[1]),
+         (zero, n[0]), (zero, n[1])]
+    )
+    a = (s[0], _fp.add_many([(d[0], d[1])])[0])
+    b = (s[1], s[2])
+    c = (s[3], s[4])
     return (a, b, c)
 
 
@@ -264,20 +291,37 @@ def _tree_product(f):
 # ---------------------------------------------------------------------------
 
 
+# run-length schedule for |z| = BLS_X: (squares, then multiply) segments.
+# BLS_X's bit pattern is STATIC, so the masked-multiply-every-step ladder
+# wastes ~57 fp12 muls + selects per exponentiation; instead scan pure
+# cyclotomic-square segments and multiply only at the (five) set bits.
+_X_RUNS = []
+_run = 0
+for _bit in _X_BITS:
+    _run += 1
+    if _bit:
+        _X_RUNS.append((_run, True))
+        _run = 0
+if _run:
+    _X_RUNS.append((_run, False))
+
+
 def _cyclotomic_exp_u(f):
     """f^|z| in the cyclotomic subgroup (vartime fixed schedule,
-    pairings.rs:115-132 analog)."""
-    batch = f[0][0][0].shape[1:]
-    bits = np.array(_X_BITS, dtype=np.bool_)
+    pairings.rs:115-132 analog), segmented by the static bit runs."""
 
-    def step(acc, bit):
-        acc = tw.fp12_cyclotomic_sqr(acc)
-        acc = tw.fp12_select(
-            jnp.broadcast_to(bit, batch), tw.fp12_mul(acc, f), acc
-        )
-        return acc, None
+    def sqr_n(acc, n):
+        if n == 1:
+            return tw.fp12_cyclotomic_sqr(acc)
+        body = lambda a, _: (tw.fp12_cyclotomic_sqr(a), None)  # noqa: E731
+        acc, _ = jax.lax.scan(body, acc, None, length=n)
+        return acc
 
-    acc, _ = jax.lax.scan(step, f, jnp.asarray(bits))
+    acc = f
+    for n_sqr, mul_f in _X_RUNS:
+        acc = sqr_n(acc, n_sqr)
+        if mul_f:
+            acc = tw.fp12_mul(acc, f)
     return acc
 
 
