@@ -48,6 +48,14 @@ class FieldFns:
     b3c9: callable = None       # (batch) -> Montgomery constant 9*b
 
 
+def _small_batch(batch, limit=1024):
+    """Batched-glue + constant-multiply-b3 pays off only when the per-op
+    launch cost dominates (small batches); at large batches the classic
+    addition ladders are cheaper (b3*x as a Montgomery product costs ~10x
+    the FLOPs of four additions)."""
+    return int(np.prod(batch, dtype=np.int64)) <= limit
+
+
 class Weierstrass:
     def __init__(self, f: FieldFns):
         self.f = f
@@ -104,8 +112,8 @@ class Weierstrass:
         """Algorithm 9 (a = 0)."""
         f = self.f
         x, y, z = p
-        if f.add_many is None:
-            # unbatched-glue fallback
+        if f.add_many is None or not _small_batch(f.batch_of(x)):
+            # classic addition-ladder path (large batches / generic fields)
             t0, t1, zz, xy = f.mul_many([(y, y), (y, z), (z, z), (x, y)])
             t2 = f.mul_b3(zz)
             z3 = f.add(t0, t0)
@@ -142,7 +150,7 @@ class Weierstrass:
         f = self.f
         x1, y1, z1 = p
         x2, y2, z2 = q
-        if f.add_many is None:
+        if f.add_many is None or not _small_batch(f.batch_of(x1)):
             t0, t1, t2, m3, m4, m5 = f.mul_many(
                 [
                     (x1, x2),
@@ -213,7 +221,7 @@ class Weierstrass:
         f = self.f
         x1, y1, z1 = p
         x2, y2, inf2 = aff
-        if f.add_many is None:
+        if f.add_many is None or not _small_batch(f.batch_of(x1)):
             t0, t1, m3, xz, yz = f.mul_many(
                 [
                     (x1, x2),

@@ -230,16 +230,22 @@ def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return add(spec, a, a)
 
 
+_GLUE_BATCH_MAX = 2048  # above this many lanes the stack copies cost more
+# than the saved launches (adds become bandwidth-bound, not launch-bound)
+
+
 def add_many(spec: FieldSpec, pairs):
     """K independent modular additions folded into ONE carry network.
 
     At small batch sizes the per-op launch + carry-lookahead cost dominates
     elementwise work, so stacking K adds into [L, K, *batch] makes the whole
-    group cost one network (the glue analog of sop_fold).  Returns a list.
+    group cost one network (the glue analog of sop_fold).  At large batch
+    sizes the stacking copies dominate instead, so this falls back to
+    per-pair adds.  Returns a list.
     """
-    if len(pairs) == 1:
-        return [add(spec, *pairs[0])]
     batch = jnp.broadcast_shapes(*[x.shape[1:] for p in pairs for x in p])
+    if len(pairs) == 1 or int(np.prod(batch, dtype=np.int64)) > _GLUE_BATCH_MAX:
+        return [add(spec, a, b) for a, b in pairs]
     full = (spec.n_limbs,) + batch
     a = jnp.stack([jnp.broadcast_to(x, full) for x, _ in pairs], axis=1)
     b = jnp.stack([jnp.broadcast_to(y, full) for _, y in pairs], axis=1)
@@ -249,10 +255,11 @@ def add_many(spec: FieldSpec, pairs):
 
 
 def sub_many(spec: FieldSpec, pairs):
-    """K independent modular subtractions in ONE borrow network."""
-    if len(pairs) == 1:
-        return [sub(spec, *pairs[0])]
+    """K independent modular subtractions in ONE borrow network (same
+    batch-size adaptivity as add_many)."""
     batch = jnp.broadcast_shapes(*[x.shape[1:] for p in pairs for x in p])
+    if len(pairs) == 1 or int(np.prod(batch, dtype=np.int64)) > _GLUE_BATCH_MAX:
+        return [sub(spec, a, b) for a, b in pairs]
     full = (spec.n_limbs,) + batch
     a = jnp.stack([jnp.broadcast_to(x, full) for x, _ in pairs], axis=1)
     b = jnp.stack([jnp.broadcast_to(y, full) for _, y in pairs], axis=1)
