@@ -163,12 +163,16 @@ def bench_msm_ntt():
     from bls12_381_tpu.ops import msm as msm_mod
     from bls12_381_tpu.ops import ntt as ntt_mod
 
-    for log_b, c in ((16, 12), (20, 14)):
-        B = 1 << log_b
-        ks = _rand_fr(3 + log_b, B)
-        fn = _tiny_out(lambda p, k, c=c: msm_mod.msm_g1(p, k, c=c))
-        t = _time_fetch(fn, G1.generator((B,)), ks, reps=2)
-        emit(f"msm_g1_2^{log_b}_s", round(t, 3))
+    for log_b, c in ((16, 12), (20, 12)):
+        try:
+            B = 1 << log_b
+            ks = _rand_fr(3 + log_b, B)
+            fn = _tiny_out(lambda p, k, c=c: msm_mod.msm_g1(p, k, c=c))
+            t = _time_fetch(fn, G1.generator((B,)), ks, reps=2)
+            emit(f"msm_g1_2^{log_b}_s", round(t, 3))
+        except Exception as e:
+            emit(f"msm_g1_2^{log_b}_error", type(e).__name__)
+            log(f"msm 2^{log_b} failed: {e}")
 
     N = 1 << 20
     coeffs = _rand_fr(4, N)
@@ -278,12 +282,18 @@ def bench_scaling():
 def main():
     t_start = time.perf_counter()
     headline = bench_fields()
-    bench_curves()
-    bench_msm_ntt()
-    bench_pairing()
-    bench_h2c()
+    # every section fail-soft: the JSON line on stdout must always appear
+    for section in (bench_curves, bench_msm_ntt, bench_pairing, bench_h2c):
+        try:
+            section()
+        except Exception as e:  # OOM'd compiles etc.
+            emit(f"{section.__name__}_error", f"{type(e).__name__}")
+            log(f"{section.__name__} failed: {e}")
     if "--scaling" in sys.argv:
-        bench_scaling()
+        try:
+            bench_scaling()
+        except Exception as e:
+            emit("bench_scaling_error", f"{type(e).__name__}")
     log(f"total bench wall time: {time.perf_counter() - t_start:.1f}s")
 
     print(
