@@ -38,11 +38,40 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.environ.get("BLS12_381_TPU_JAX_CACHE",
                                      "/root/.cache/bls12381_jax"))
 
+
+def _probe_accelerator(timeout_s=120):
+    """Check in a SUBPROCESS that the accelerator backend initializes (a dead
+    TPU tunnel can make backend init hang or fail); fall back to CPU here so
+    the bench always completes and emits its JSON line."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        plat = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        return plat if out.returncode == 0 else ""
+    except Exception:
+        return ""
+
+
+_PLATFORM = _probe_accelerator()
+CPU_FALLBACK = _PLATFORM not in ("tpu", "axon")
+if CPU_FALLBACK:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+if CPU_FALLBACK:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 METRICS = {}
 
@@ -279,21 +308,44 @@ def bench_scaling():
         lb.set_pallas(None)
 
 
+def bench_fields_cpu_reduced():
+    """Tiny CPU-only fallback when no accelerator is reachable: measures the
+    headline metric at a reduced batch so a valid JSON line is still
+    emitted (clearly marked)."""
+    from bls12_381_tpu import limbs as lb
+
+    rng = np.random.RandomState(0)
+    B = 1 << 12
+    a = _rand_fp(rng, lb.FP.n_limbs, B)
+    b = _rand_fp(rng, lb.FP.n_limbs, B)
+    dt = _chain_rate(lambda x, y: lb.mont_mul(lb.FP, x, y), a, b,
+                     n1=8, n2=24, reps=2)
+    headline = B / dt
+    emit("fp_mul/s", round(headline))
+    emit("platform", "cpu_fallback (accelerator unavailable)")
+    return headline
+
+
 def main():
     t_start = time.perf_counter()
-    headline = bench_fields()
-    # every section fail-soft: the JSON line on stdout must always appear
-    for section in (bench_curves, bench_msm_ntt, bench_pairing, bench_h2c):
-        try:
-            section()
-        except Exception as e:  # OOM'd compiles etc.
-            emit(f"{section.__name__}_error", f"{type(e).__name__}")
-            log(f"{section.__name__} failed: {e}")
-    if "--scaling" in sys.argv:
-        try:
-            bench_scaling()
-        except Exception as e:
-            emit("bench_scaling_error", f"{type(e).__name__}")
+    if CPU_FALLBACK:
+        log("accelerator unreachable - running reduced CPU fallback")
+        headline = bench_fields_cpu_reduced()
+    else:
+        headline = bench_fields()
+        # every section fail-soft: the JSON line on stdout must always appear
+        for section in (bench_curves, bench_msm_ntt, bench_pairing,
+                        bench_h2c):
+            try:
+                section()
+            except Exception as e:  # OOM'd compiles etc.
+                emit(f"{section.__name__}_error", f"{type(e).__name__}")
+                log(f"{section.__name__} failed: {e}")
+        if "--scaling" in sys.argv:
+            try:
+                bench_scaling()
+            except Exception as e:
+                emit("bench_scaling_error", f"{type(e).__name__}")
     log(f"total bench wall time: {time.perf_counter() - t_start:.1f}s")
 
     print(
