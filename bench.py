@@ -39,22 +39,45 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                      "/root/.cache/bls12381_jax"))
 
 
-def _probe_accelerator(timeout_s=120):
+PROBE_FAILURE = ""
+
+
+def _probe_accelerator():
     """Check in a SUBPROCESS that the accelerator backend initializes (a dead
-    TPU tunnel can make backend init hang or fail); fall back to CPU here so
-    the bench always completes and emits its JSON line."""
+    TPU tunnel can make backend init hang or fail); fall back to CPU so the
+    bench always completes and emits its JSON line.
+
+    The tunnel on this box is flaky: cold `jax.devices()` init has been
+    observed to exceed 180 s even when it eventually succeeds.  So retry with
+    escalating timeouts (~10 min total) and record WHY the fallback was taken
+    so the emitted artifact is diagnosable (round-2 verdict item 1).
+    """
     import subprocess
 
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
-        plat = out.stdout.strip().splitlines()[-1] if out.stdout else ""
-        return plat if out.returncode == 0 else ""
-    except Exception:
-        return ""
+    global PROBE_FAILURE
+    attempts = (120, 240, 360)
+    reasons = []
+    for i, timeout_s in enumerate(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=timeout_s, text=True,
+            )
+            plat = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            if out.returncode == 0 and plat:
+                return plat
+            tail = (out.stderr or "").strip().splitlines()[-3:]
+            reasons.append(
+                f"attempt {i + 1} (cap {timeout_s}s): rc={out.returncode} "
+                + " | ".join(tail))
+        except subprocess.TimeoutExpired:
+            reasons.append(f"attempt {i + 1}: timeout after {timeout_s}s")
+        except Exception as e:
+            reasons.append(f"attempt {i + 1}: {type(e).__name__}: {e}")
+        print(reasons[-1], file=sys.stderr, flush=True)
+    PROBE_FAILURE = "; ".join(reasons)
+    return ""
 
 
 _PLATFORM = _probe_accelerator()
@@ -323,6 +346,7 @@ def bench_fields_cpu_reduced():
     headline = B / dt
     emit("fp_mul/s", round(headline))
     emit("platform", "cpu_fallback (accelerator unavailable)")
+    emit("probe_failure", PROBE_FAILURE or "unknown")
     return headline
 
 
@@ -332,6 +356,7 @@ def main():
         log("accelerator unreachable - running reduced CPU fallback")
         headline = bench_fields_cpu_reduced()
     else:
+        emit("platform", _PLATFORM)
         headline = bench_fields()
         # every section fail-soft: the JSON line on stdout must always appear
         for section in (bench_curves, bench_msm_ntt, bench_pairing,

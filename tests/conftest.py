@@ -22,8 +22,41 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import subprocess
+import sys as _sys
+
 import jax
 import pytest
+
+
+def _accelerator_alive() -> bool:
+    """Probe (in a subprocess, with a timeout) whether the default
+    accelerator backend can actually initialize.  On this box the axon TPU
+    tunnel can be down, in which case backend init hangs for tens of minutes
+    and pytest dies at COLLECTION; `JAX_PLATFORMS=cpu` in the environment
+    does NOT help because the axon plugin overrides it — only
+    `jax.config.update("jax_platforms", "cpu")` works.
+    """
+    if os.environ.get("BLS12_381_TPU_FORCE_CPU"):
+        return False
+    timeout = float(os.environ.get("BLS12_381_TPU_PROBE_TIMEOUT", "180"))
+    try:
+        out = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout, text=True,
+        )
+        plat = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        return out.returncode == 0 and plat in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+if not _accelerator_alive():
+    # Tunnel down: force the CPU backend so correctness stays checkable.
+    jax.config.update("jax_platforms", "cpu")
+    print("[conftest] accelerator unreachable - forcing CPU backend",
+          file=_sys.stderr)
 
 jax.config.update(
     "jax_compilation_cache_dir",
