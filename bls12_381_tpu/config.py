@@ -11,6 +11,7 @@ programmatically or via environment variables.
 
 Environment variables (read at import):
     BLS12_381_TPU_NO_PALLAS=1   force the pure-jnp path
+    BLS12_381_TPU_PLAN_KERNELS  0/1: fused expression-plan fp12 kernels
     BLS12_381_TPU_JAX_CACHE     persistent compile-cache directory
     BLS12_381_TPU_BLOCK_B       Pallas batch-block size (lanes per grid step)
     BLS12_381_TPU_MSM_WINDOW    default Pippenger window bits
@@ -35,6 +36,11 @@ class Config:
     # route sop_fold through the operand-deduplicating planned-fold kernel
     fold_dedup: bool = bool(
         int(os.environ.get("BLS12_381_TPU_FOLD_DEDUP", "0"))
+    )
+    # fuse whole fp12 ops into single expression-plan Pallas kernels
+    # (kernels/plan_exec.py); falls back to the phased-glue path when off
+    plan_kernels: bool = bool(
+        int(os.environ.get("BLS12_381_TPU_PLAN_KERNELS", "1"))
     )
     # default mesh axis name for parallel/*
     mesh_axis: str = os.environ.get("BLS12_381_TPU_MESH_AXIS", "x")

@@ -25,6 +25,17 @@ def _mul_b3(x):
     return fp.add(x8, x4)
 
 
+def _fused(plan_name, comps):
+    """Route one whole group operation through an expression-plan Pallas
+    kernel (kernels/plan_exec.py) when enabled; None falls back."""
+    from ..kernels import plan_exec as pe
+
+    if not pe.enabled():
+        return None
+    o = pe.run_plan(getattr(pe, plan_name)(), comps)
+    return (o[0], o[1], o[2])
+
+
 _FNS = FieldFns(
     add=fp.add,
     sub=fp.sub,
@@ -44,6 +55,10 @@ _FNS = FieldFns(
     sub_many=fp.sub_many,
     b3c=lambda batch: fp.const(3 * params.B_G1, batch),
     b3c9=lambda batch: fp.const(9 * params.B_G1, batch),
+    fused_add=lambda p, q: _fused("g1_add_plan", list(p) + list(q)),
+    fused_double=lambda p: _fused("g1_double_plan", list(p)),
+    fused_add_mixed=lambda p, xy: _fused(
+        "g1_add_mixed_plan", list(p) + list(xy)),
 )
 
 CURVE = Weierstrass(_FNS)

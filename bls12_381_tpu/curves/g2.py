@@ -26,6 +26,20 @@ def _mul_b3(x):
     return tw.fp2_add(t8, t4)
 
 
+def _fused(plan_name, f2s):
+    """Route one whole Fp2 group operation through an expression-plan
+    Pallas kernel (kernels/plan_exec.py) when enabled; None falls back.
+    f2s: sequence of (c0, c1) pairs -> returns 3 pairs."""
+    from ..kernels import plan_exec as pe
+
+    if not pe.enabled():
+        return None
+    o = pe.run_plan(
+        getattr(pe, plan_name)(), [c for f2 in f2s for c in f2]
+    )
+    return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
+
+
 _FNS = FieldFns(
     add=tw.fp2_add,
     sub=tw.fp2_sub,
@@ -49,6 +63,10 @@ _FNS = FieldFns(
     b3c9=lambda batch: tw.fp2_const(
         tuple(9 * c for c in params.B_G2), batch
     ),
+    fused_add=lambda p, q: _fused("g2_add_plan", list(p) + list(q)),
+    fused_double=lambda p: _fused("g2_double_plan", list(p)),
+    fused_add_mixed=lambda p, xy: _fused(
+        "g2_add_mixed_plan", list(p) + list(xy)),
 )
 
 CURVE = Weierstrass(_FNS)

@@ -46,6 +46,11 @@ class FieldFns:
     sub_many: callable = None   # [(a,b), ...] -> [a-b, ...]
     b3c: callable = None        # (batch) -> Montgomery constant 3*b
     b3c9: callable = None       # (batch) -> Montgomery constant 9*b
+    # whole-group-law fusions (kernels/plan_exec.py): each returns the
+    # output point, or None to fall through to the staged paths below
+    fused_add: callable = None        # (p, q) -> point | None
+    fused_double: callable = None     # (p,) -> point | None
+    fused_add_mixed: callable = None  # (p, (x2, y2)) -> point | None
 
 
 def _small_batch(batch, limit=1024):
@@ -112,6 +117,10 @@ class Weierstrass:
         """Algorithm 9 (a = 0)."""
         f = self.f
         x, y, z = p
+        if f.fused_double is not None:
+            out = f.fused_double(p)
+            if out is not None:
+                return out
         if f.add_many is None or not _small_batch(f.batch_of(x)):
             # classic addition-ladder path (large batches / generic fields)
             t0, t1, zz, xy = f.mul_many([(y, y), (y, z), (z, z), (x, y)])
@@ -150,6 +159,10 @@ class Weierstrass:
         f = self.f
         x1, y1, z1 = p
         x2, y2, z2 = q
+        if f.fused_add is not None:
+            out = f.fused_add(p, q)
+            if out is not None:
+                return out
         if f.add_many is None or not _small_batch(f.batch_of(x1)):
             t0, t1, t2, m3, m4, m5 = f.mul_many(
                 [
@@ -221,6 +234,12 @@ class Weierstrass:
         f = self.f
         x1, y1, z1 = p
         x2, y2, inf2 = aff
+        if f.fused_add_mixed is not None:
+            out = f.fused_add_mixed(p, (x2, y2))
+            if out is not None:
+                return tuple(
+                    f.select(inf2, a_, b_) for a_, b_ in zip(p, out)
+                )
         if f.add_many is None or not _small_batch(f.batch_of(x1)):
             t0, t1, m3, xz, yz = f.mul_many(
                 [

@@ -540,9 +540,39 @@ def _fp6_halves(x6):
     return [c for fp2c in x6 for c in fp2c]  # 6 Fp components
 
 
+def _use_plan_kernels() -> bool:
+    from ..kernels import plan_exec
+
+    return plan_exec.enabled()
+
+
+def _unflatten12(o):
+    return (
+        ((o[0], o[1]), (o[2], o[3]), (o[4], o[5])),
+        ((o[6], o[7]), (o[8], o[9]), (o[10], o[11])),
+    )
+
+
+def _run_fp12_plan(plan, comps):
+    from ..kernels import plan_exec
+
+    return _unflatten12(plan_exec.run_plan(plan, comps))
+
+
 def fp12_mul(a, b):
     """Karatsuba over Fp6 — three independent Fp6 products in ONE fold
-    (fp12.rs:197-213); all glue adds/subs batched into 4 carry networks."""
+    (fp12.rs:197-213); all glue adds/subs batched into 4 carry networks.
+
+    On TPU (config.plan_kernels) the whole operation — products AND glue —
+    runs as ONE expression-plan Pallas kernel (kernels/plan_exec.py)."""
+    if _use_plan_kernels():
+        from ..kernels import plan_exec
+
+        return _run_fp12_plan(
+            plan_exec.fp12_mul_plan(),
+            _fp6_halves(a[0]) + _fp6_halves(a[1])
+            + _fp6_halves(b[0]) + _fp6_halves(b[1]),
+        )
     sums = fp2_add_many(
         [(a[0][i], a[1][i]) for i in range(3)]
         + [(b[0][i], b[1][i]) for i in range(3)]
@@ -573,7 +603,14 @@ def fp12_mul(a, b):
 
 def fp12_sqr(a):
     """(c0 + c1 w)^2 with 2 folded Fp6 muls (fp12.rs:174-185); glue
-    batched."""
+    batched.  One fused plan kernel on TPU (config.plan_kernels)."""
+    if _use_plan_kernels():
+        from ..kernels import plan_exec
+
+        return _run_fp12_plan(
+            plan_exec.fp12_sqr_plan(),
+            _fp6_halves(a[0]) + _fp6_halves(a[1]),
+        )
     # pre: s = a0 + a1; u = a0 + xi*a1 (xi*a1 = (nonres(a1[2]), a1[0], a1[1]))
     nr = fp.sub_many([(a[1][2][0], a[1][2][1])])[0]
     nr_i = fp.add_many([(a[1][2][0], a[1][2][1])])[0]
@@ -619,6 +656,13 @@ def fp12_cyclotomic_sqr(f):
     nine folded into ONE reduction.  Only valid after the easy part of the
     final exponentiation (where conj == inverse).
     """
+    if _use_plan_kernels():
+        from ..kernels import plan_exec
+
+        return _run_fp12_plan(
+            plan_exec.fp12_cyclotomic_sqr_plan(),
+            _fp6_halves(f[0]) + _fp6_halves(f[1]),
+        )
     (a0, a1, a2), (b0, b1, b2) = f
 
     # all nine fp2 squarings in one fold: for each fp4 pair (x, y):
@@ -717,7 +761,17 @@ def fp12_mul_by_045(f, g0, g4, g5):
     All 24 component products run as ONE fused fold:
       (f0 + f1 w)(g0 + (g4 v + g5 v^2) w)
         = f0 g0 + f1 B v  +  (f1 g0 + f0 B) w,   B = g4 v + g5 v^2.
+
+    One fused plan kernel on TPU (config.plan_kernels).
     """
+    if _use_plan_kernels():
+        from ..kernels import plan_exec
+
+        return _run_fp12_plan(
+            plan_exec.fp12_mul_by_045_plan(),
+            _fp6_halves(f[0]) + _fp6_halves(f[1])
+            + [g0[0], g0[1], g4[0], g4[1], g5[0], g5[1]],
+        )
     cb = _Combos()
     terms = [(comp, g0, False) for part in (f[0], f[1]) for comp in part]
     terms += _fp6_mul_by_12_terms(f[1], g4, g5)

@@ -185,11 +185,38 @@ def prepare_g2(q_aff) -> G2Prepared:
 
     is_add = jnp.asarray(_IS_ADD_STEP)
 
+    def _fused_steps(t):
+        """Line coefficients + point update as ONE expression-plan kernel
+        per branch (kernels/plan_exec.py), sharing products between the
+        line and the group law."""
+        from ..fields.tower import _use_plan_kernels
+        if not _use_plan_kernels():
+            return None
+        from ..kernels import plan_exec
+
+        comps = [t[0][0], t[0][1], t[1][0], t[1][1], t[2][0], t[2][1]]
+        od = plan_exec.run_plan(plan_exec.g2_dbl_step_plan(), comps)
+        oa = plan_exec.run_plan(
+            plan_exec.g2_add_step_plan(),
+            comps + [xq[0], xq[1], yq[0], yq[1]],
+        )
+
+        def untup(o):
+            f2s = [(o[2 * i], o[2 * i + 1]) for i in range(6)]
+            return tuple(f2s[:3]), tuple(f2s[3:])
+
+        return untup(od), untup(oa)
+
     def step(t, is_add_step):
-        dbl_c = _dbl_line(t)
-        t_dbl = G2.double(t)
-        add_c = _add_line(t, (xq, yq))
-        t_add = G2.add_mixed(t, (xq, yq, jnp.zeros(batch, dtype=bool)))
+        fused = _fused_steps(t)
+        if fused is not None:
+            (dbl_c, t_dbl), (add_c, t_add) = fused
+        else:
+            dbl_c = _dbl_line(t)
+            t_dbl = G2.double(t)
+            add_c = _add_line(t, (xq, yq))
+            t_add = G2.add_mixed(
+                t, (xq, yq, jnp.zeros(batch, dtype=bool)))
         mask = jnp.broadcast_to(is_add_step, batch)
         coeff = tuple(
             tw.fp2_select(mask, ac, dc) for ac, dc in zip(add_c, dbl_c)
