@@ -27,22 +27,35 @@ from ..curves import g2 as G2
 from ..ops import msm as msm_mod
 
 
+def _gather_tree_add(curve_mod, pt, axis_name):
+    """all_gather partial points over one mesh axis and tree-add them."""
+    gathered = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, axis_name, axis=x.ndim, tiled=False),
+        pt,
+    )
+    n = jax.tree.leaves(gathered)[0].shape[-1]
+    acc = jax.tree.map(lambda x: x[..., 0], gathered)
+    for i in range(1, n):
+        acc = curve_mod.add(acc, jax.tree.map(lambda x: x[..., i], gathered))
+    return acc
+
+
 @functools.lru_cache(maxsize=None)
 def _build(mesh, c: int, glv: bool, curve_name: str):
-    axis = mesh.axis_names[0]
+    axes = tuple(mesh.axis_names)  # batch sharded over the whole mesh
     curve_mod = G1 if curve_name == "g1" else G2
     # G1 coords are [L, B] tensors; G2 coords are (c0, c1) pairs of [L, B]
     coord_spec = (
-        P(None, axis) if curve_name == "g1" else (P(None, axis),) * 2
+        P(None, axes) if curve_name == "g1" else (P(None, axes),) * 2
     )
     coord_out = P(None, None) if curve_name == "g1" else (P(None, None),) * 2
     point_spec = (coord_spec,) * 3
-    scalar_spec = P(None, axis)
+    scalar_spec = P(None, axes)
 
     def local_msm(points, scalars):
         if curve_name == "g1":
             return msm_mod.msm_g1(points, scalars, c=c, glv=glv)
-        return msm_mod.msm_g2(points, scalars, c=c)
+        return msm_mod.msm_g2(points, scalars, c=c, gls=glv)
 
     @partial(
         shard_map,
@@ -53,19 +66,12 @@ def _build(mesh, c: int, glv: bool, curve_name: str):
     )
     def _local(points, scalars):
         partial_pt = local_msm(points, scalars)
-        # gather one partial per chip -> [L, n_chips]; tree-add locally
-        gathered = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, axis, axis=x.ndim, tiled=False),
-            partial_pt,
-        )
-        n = jax.tree.leaves(gathered)[0].shape[-1]
-        acc = jax.tree.map(lambda x: x[..., 0], gathered)
-        for i in range(1, n):
-            acc = curve_mod.add(
-                acc, jax.tree.map(lambda x: x[..., i], gathered)
-            )
+        # hierarchical combine: innermost axis first (ICI within a host),
+        # outer axis last, so only one partial per host crosses DCN
+        for ax in reversed(axes):
+            partial_pt = _gather_tree_add(curve_mod, partial_pt, ax)
         # out shape [L, 1] to satisfy the sharded-out rank
-        return jax.tree.map(lambda x: x[:, None], acc)
+        return jax.tree.map(lambda x: x[:, None], partial_pt)
 
     return jax.jit(_local)
 
@@ -89,10 +95,12 @@ def msm_g1_sharded(mesh, points_proj, scalars_mont, c: int = 8,
     return jax.tree.map(lambda x: x[..., 0], out)
 
 
-def msm_g2_sharded(mesh, points_proj, scalars_mont, c: int = 8):
+def msm_g2_sharded(mesh, points_proj, scalars_mont, c: int = 8,
+                   gls: bool = True):
     """G2 multi-scalar multiplication sharded over the mesh (same shard +
-    per-chip-buckets + gather-reduce layout as msm_g1_sharded)."""
-    out = _build(mesh, c, False, "g2")(
+    per-chip-buckets + gather-reduce layout as msm_g1_sharded).  gls=True
+    applies the 4-way psi split inside each shard (subgroup points only)."""
+    out = _build(mesh, c, gls, "g2")(
         _canon_g2_point(points_proj), scalars_mont
     )
     return jax.tree.map(lambda x: x[..., 0], out)

@@ -68,7 +68,7 @@ def _build_twiddles(n1: int, n2: int, inverse: bool):
 
 @functools.lru_cache(maxsize=None)
 def _build(mesh, n: int, inverse: bool):
-    axis = mesh.axis_names[0]
+    axes = tuple(mesh.axis_names)  # columns shard over the whole mesh
     n_chips = mesh.devices.size
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
@@ -81,8 +81,8 @@ def _build(mesh, n: int, inverse: bool):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, axis), P(None, None, axis)),
-        out_specs=P(None, None, axis),
+        in_specs=(P(None, None, axes), P(None, None, axes)),
+        out_specs=P(None, None, axes),
         check_rep=False,
     )
     def _stage13(xl, twl):
@@ -96,8 +96,8 @@ def _build(mesh, n: int, inverse: bool):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, axis),),
-        out_specs=P(None, None, axis),
+        in_specs=(P(None, None, axes),),
+        out_specs=P(None, None, axes),
         check_rep=False,
     )
     def _stage4(yl):

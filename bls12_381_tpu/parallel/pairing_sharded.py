@@ -27,7 +27,7 @@ from ..pairing.pairing import _tree_product
 def _build(mesh, aggregate: bool, final_exp: bool, p_spec, q_spec):
     """p_spec/q_spec: nested PartitionSpec tuples mirroring the input
     pytrees (hashable, so pipelines cache per mesh + config)."""
-    axis = mesh.axis_names[0]
+    axes = tuple(mesh.axis_names)
 
     if aggregate:
         out_spec = jax.tree.map(lambda _: P(), tw.fp12_one(()))
@@ -42,13 +42,16 @@ def _build(mesh, aggregate: bool, final_exp: bool, p_spec, q_spec):
         def _agg(p, q):
             f = miller_loop_batched(p, prepare_g2(q))
             local = _tree_product(f)
-            gathered = jax.tree.map(
-                lambda x: jax.lax.all_gather(x, axis, axis=x.ndim,
-                                             tiled=False),
-                local,
-            )
-            total = _tree_product(gathered)
-            return final_exponentiation(total) if final_exp else total
+            # hierarchical product: ICI axis first, DCN (host) axis last —
+            # one Fp12 value per host crosses DCN
+            for ax in reversed(axes):
+                gathered = jax.tree.map(
+                    lambda x: jax.lax.all_gather(x, ax, axis=x.ndim,
+                                                 tiled=False),
+                    local,
+                )
+                local = _tree_product(gathered)
+            return final_exponentiation(local) if final_exp else local
 
         return jax.jit(_agg)
 
@@ -56,7 +59,7 @@ def _build(mesh, aggregate: bool, final_exp: bool, p_spec, q_spec):
         shard_map,
         mesh=mesh,
         in_specs=(p_spec, q_spec),
-        out_specs=jax.tree.map(lambda _: P(None, axis), tw.fp12_one((1,))),
+        out_specs=jax.tree.map(lambda _: P(None, axes), tw.fp12_one((1,))),
         check_rep=False,
     )
     def _elem(p, q):
@@ -65,9 +68,9 @@ def _build(mesh, aggregate: bool, final_exp: bool, p_spec, q_spec):
     return jax.jit(_elem)
 
 
-def _shard_specs(tree, axis):
+def _shard_specs(tree, axes):
     return jax.tree.map(
-        lambda x: P(*([None] * (x.ndim - 1) + [axis])), tree
+        lambda x: P(*([None] * (x.ndim - 1) + [axes])), tree
     )
 
 
@@ -85,7 +88,7 @@ def pairing_sharded(mesh, p_aff, q_aff, aggregate: bool = False,
     # canonicalize pytrees to tuples so the jitted signature is stable
     p_aff = (p_aff[0], p_aff[1], p_aff[2])
     q_aff = ((q_aff[0][0], q_aff[0][1]), (q_aff[1][0], q_aff[1][1]), q_aff[2])
-    axis = mesh.axis_names[0]
+    axes = tuple(mesh.axis_names)
     fn = _build(mesh, aggregate, final_exp,
-                _shard_specs(p_aff, axis), _shard_specs(q_aff, axis))
+                _shard_specs(p_aff, axes), _shard_specs(q_aff, axes))
     return fn(p_aff, q_aff)

@@ -94,3 +94,22 @@ def cpu_mesh_8():
             yield Mesh(np.array(cpu_devices(8)), ("x",))
     finally:
         lb.set_pallas(None)
+
+
+@pytest.fixture
+def cpu_mesh_2x4():
+    """2x4 ("host", "x") virtual mesh — the DCN-spanning 2-D layout
+    (SURVEY.md §2.4); outer axis models hosts, inner axis ICI."""
+    import numpy as np
+
+    from bls12_381_tpu import limbs as lb
+    from jax.sharding import Mesh
+
+    lb.set_pallas(False)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            yield Mesh(
+                np.array(cpu_devices(8)).reshape(2, 4), ("host", "x")
+            )
+    finally:
+        lb.set_pallas(None)
