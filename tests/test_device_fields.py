@@ -83,6 +83,24 @@ class TestLimbs:
         exp = [sum(pa[t][i] * pb[t][i] for t in range(6)) % P for i in range(B)]
         assert [int(g) for g in got] == exp
 
+    def test_sum_of_products_arbitrary_t(self):
+        """T > 8 (the fused-group bound) chunks and mod-adds — arbitrary
+        slice length parity with fp.rs:430-484."""
+        for t in (9, 16, 19):
+            pa = [rints(B, P) for _ in range(t)]
+            pb = [rints(B, P) for _ in range(t)]
+            got = fp.to_ints(
+                fp.sop(
+                    [(fp.from_ints(x), fp.from_ints(y))
+                     for x, y in zip(pa, pb)]
+                )
+            )
+            exp = [
+                sum(pa[k][i] * pb[k][i] for k in range(t)) % P
+                for i in range(B)
+            ]
+            assert [int(g) for g in got] == exp, t
+
     def test_edge_values(self):
         edge = [0, 1, P - 1, P - 2, (P - 1) // 2, (P + 1) // 2]
         ea = fp.from_ints(edge)
