@@ -772,6 +772,25 @@ def fp12_mul_by_045(f, g0, g4, g5):
             _fp6_halves(f[0]) + _fp6_halves(f[1])
             + [g0[0], g0[1], g4[0], g4[1], g5[0], g5[1]],
         )
+    return _fp12_mul_by_045_jnp(f, g0, g4, g5)
+
+
+def fp12_sqr_mul_by_045(f, g0, g4, g5):
+    """f^2 * (g0 + g4 (v w) + g5 (v^2 w)) — the Miller doubling-step
+    update, ONE fused plan kernel on TPU (squaring and sparse multiply
+    share a single launch; pairings.rs:620-634 + ell)."""
+    if _use_plan_kernels():
+        from ..kernels import plan_exec
+
+        return _run_fp12_plan(
+            plan_exec.fp12_sqr_mul_by_045_plan(),
+            _fp6_halves(f[0]) + _fp6_halves(f[1])
+            + [g0[0], g0[1], g4[0], g4[1], g5[0], g5[1]],
+        )
+    return _fp12_mul_by_045_jnp(fp12_sqr(f), g0, g4, g5)
+
+
+def _fp12_mul_by_045_jnp(f, g0, g4, g5):
     cb = _Combos()
     terms = [(comp, g0, False) for part in (f[0], f[1]) for comp in part]
     terms += _fp6_mul_by_12_terms(f[1], g4, g5)

@@ -203,26 +203,25 @@ def fp12_mul_plan():
     return _flatten12(c0, c1)
 
 
-@functools.lru_cache(maxsize=None)
-def fp12_sqr_plan():
-    """(c0 + c1 w)^2 (fp12.rs:174-185 algebra): 12 input rows -> 12."""
-    a0, a1 = _f6_in(0), _f6_in(6)
+def _f12_sqr_sym(a0, a1):
+    """(c0 + c1 w)^2 symbolically (fp12.rs:174-185 algebra)."""
     ab = f6_mul(a0, a1)
     t = f6_mul(f6_add(a0, a1), f6_add(a0, f6_mul_by_v(a1)))
     c0 = f6_sub(t, f6_add(ab, f6_mul_by_v(ab)))
     c1 = f6_add(ab, ab)
-    return _flatten12(c0, c1)
+    return c0, c1
 
 
 @functools.lru_cache(maxsize=None)
-def fp12_mul_by_045_plan():
-    """f * (g0 + g4 (v w) + g5 (v^2 w)) — the D-twist sparse line multiply
-    (tower.fp12_mul_by_045 algebra; counterpart of fp12.rs:116-128 under its
-    twist convention).  Inputs: 12 f rows + 6 line rows (g0, g4, g5)."""
-    f0, f1 = _f6_in(0), _f6_in(6)
-    g0 = (inp(12), inp(13))
-    g4 = (inp(14), inp(15))
-    g5 = (inp(16), inp(17))
+def fp12_sqr_plan():
+    """(c0 + c1 w)^2: 12 input rows -> 12."""
+    return _flatten12(*_f12_sqr_sym(_f6_in(0), _f6_in(6)))
+
+
+def _f12_mul_by_045_sym(f0, f1, g0, g4, g5):
+    """f * (g0 + g4 (v w) + g5 (v^2 w)) symbolically — the D-twist sparse
+    line multiply (tower.fp12_mul_by_045 algebra; counterpart of
+    fp12.rs:116-128 under its twist convention)."""
 
     def mul_g0(x):
         return tuple(f2_sop([(c, g0, False)]) for c in x)
@@ -237,7 +236,26 @@ def fp12_mul_by_045_plan():
 
     c0 = f6_add(mul_g0(f0), f6_mul_by_v(mul_B(f1)))
     c1 = f6_add(mul_g0(f1), mul_B(f0))
-    return _flatten12(c0, c1)
+    return c0, c1
+
+
+@functools.lru_cache(maxsize=None)
+def fp12_mul_by_045_plan():
+    """Sparse line multiply: 12 f rows + 6 line rows (g0, g4, g5) -> 12."""
+    g0, g4, g5 = (inp(12), inp(13)), (inp(14), inp(15)), (inp(16), inp(17))
+    return _flatten12(
+        *_f12_mul_by_045_sym(_f6_in(0), _f6_in(6), g0, g4, g5)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def fp12_sqr_mul_by_045_plan():
+    """The fused Miller doubling-step update f^2 * line: 12 f rows + 6
+    line rows -> 12.  One launch instead of sqr + mul_by_045
+    (pairings.rs:620-634 doubling_step + ell under the D-twist)."""
+    g0, g4, g5 = (inp(12), inp(13)), (inp(14), inp(15)), (inp(16), inp(17))
+    s0, s1 = _f12_sqr_sym(_f6_in(0), _f6_in(6))
+    return _flatten12(*_f12_mul_by_045_sym(s0, s1, g0, g4, g5))
 
 
 @functools.lru_cache(maxsize=None)

@@ -15,9 +15,11 @@ Architecture (TPU-first redesign of pairings.rs:498-694):
     coefficient triples [63 doubling + 5 addition steps for
     BLS_X = 0xd201000000010000] as a lax.scan with masked double/add branches.
 
-  * miller_loop_batched runs ONE uniform 68-step lax.scan: step i optionally
-    squares f (squeeze flag) then multiplies by line i — so the compiled
-    graph is a single step body regardless of schedule.
+  * miller_loop_batched scales and identity-masks all 68 lines in one
+    batched fold, then runs STATIC segments: maximal runs of doubling steps
+    as lax.scans of the fused f^2 * line update
+    (tower.fp12_sqr_mul_by_045, one plan-kernel launch per step on TPU)
+    with single line multiplies at the five addition steps between.
 
   * Final exponentiation: easy part (p^6-1)(p^2+1), then the hard part with
     cofactor 3 via the exact digit decomposition (verified in
@@ -164,10 +166,6 @@ def _pack_fp2(a):
     return jnp.stack([a[0], a[1]])  # [2, L, *batch]
 
 
-def _unpack_fp2(arr):
-    return (arr[0], arr[1])
-
-
 @jax.jit
 def prepare_g2(q_aff) -> G2Prepared:
     """Compute the 68 line-coefficient triples for an affine G2 batch.
@@ -236,47 +234,78 @@ def prepare_g2(q_aff) -> G2Prepared:
 # ---------------------------------------------------------------------------
 
 
+# static segmentation of the 68-step schedule: maximal runs of doubling
+# (sqr) steps, broken by single addition steps — same run-length trick as
+# _X_RUNS below.  Lets every doubling step run the FUSED f^2 * line update
+# (tower.fp12_sqr_mul_by_045) with no per-step sqr/no-sqr select.
+_SEGMENTS = []  # (start, length, is_sqr_run)
+_i = 0
+while _i < N_COEFFS:
+    _j = _i
+    while _j < N_COEFFS and _SQR_FLAGS[_j]:
+        _j += 1
+    if _j > _i:
+        _SEGMENTS.append((_i, _j - _i, True))
+    if _j < N_COEFFS:
+        _SEGMENTS.append((_j, 1, False))
+        _j += 1
+    _i = _j
+assert sum(s[1] for s in _SEGMENTS) == N_COEFFS
+
+
 @jax.jit
 def miller_loop_batched(p_aff, prep: G2Prepared):
     """f_{|z|,Q}(P) (conjugated for z < 0) for batches of G1 points and
-    prepared G2 coefficients.  One uniform 68-step scan.
+    prepared G2 coefficients.
 
-    Identity terms (either side) contribute f *= 1 (pairings.rs:563-586).
+    All 68 lines are scaled by the G1 point and identity-masked in ONE
+    batched fold up front (ell(), pairings.rs:696-707); the loop then runs
+    static segments of fused f^2 * line doubling steps with single
+    line-multiply addition steps between (schedule is static, so no
+    per-step flag select).  Identity terms contribute f *= 1
+    (pairings.rs:563-586).
     """
     xp, yp, inf_p = p_aff
     batch = xp.shape[1:]
     either_inf = inf_p | prep.infinity
 
-    one2 = tw.fp2_one(batch)
-    zero2 = tw.fp2_zero(batch)
+    # [68, 3, 2, L, *batch] -> per-component [L, 68, *batch]
+    def comp(i, j):
+        return jnp.moveaxis(prep.coeffs[:, i, j], 1, 0)
 
-    sqr_flags = jnp.asarray(_SQR_FLAGS)
+    a0, a1 = comp(0, 0), comp(0, 1)
+    b0, b1 = comp(1, 0), comp(1, 1)
+    c0, c1 = comp(2, 0), comp(2, 1)
+    ypb = jnp.broadcast_to(yp[:, None], a0.shape)
+    xpb = jnp.broadcast_to(xp[:, None], a0.shape)
+    s0, s1, s2, s3 = fp.mul_many(
+        [(a0, ypb), (a1, ypb), (c0, xpb), (c1, xpb)]
+    )
+    sbatch = (N_COEFFS,) + batch
+    mask = jnp.broadcast_to(either_inf[None], sbatch)
+    g0 = tw.fp2_select(mask, tw.fp2_one(sbatch), (s0, s1))
+    g4 = tw.fp2_select(mask, tw.fp2_zero(sbatch), (b0, b1))
+    g5 = tw.fp2_select(mask, tw.fp2_zero(sbatch), (s2, s3))
+    # [68, 6, L, *batch] scan operand
+    lines = jnp.stack(
+        [jnp.moveaxis(x, 1, 0) for x in (g0[0], g0[1], g4[0], g4[1],
+                                         g5[0], g5[1])],
+        axis=1,
+    )
 
-    def step(f, xs):
-        coeff, do_sqr = xs
-        a = _unpack_fp2(coeff[0])
-        b = _unpack_fp2(coeff[1])
-        c = _unpack_fp2(coeff[2])
-        # scale by the G1 point (ell(), pairings.rs:696-707) — one fold
-        from ..fields import fp as _fp
+    def unpack(ln):
+        return (ln[0], ln[1]), (ln[2], ln[3]), (ln[4], ln[5])
 
-        s0, s1, s2, s3 = _fp.mul_many(
-            [(a[0], yp), (a[1], yp), (c[0], xp), (c[1], xp)]
-        )
-        g0 = (s0, s1)
-        g4 = b
-        g5 = (s2, s3)
-        # identity masking: line := 1
-        g0 = tw.fp2_select(either_inf, one2, g0)
-        g4 = tw.fp2_select(either_inf, zero2, g4)
-        g5 = tw.fp2_select(either_inf, zero2, g5)
-        f_sq = tw.fp12_sqr(f)
-        f = tw.fp12_select(jnp.broadcast_to(do_sqr, batch), f_sq, f)
-        f = tw.fp12_mul_by_045(f, g0, g4, g5)
-        return f, None
+    def sqr_step(f, ln):
+        return tw.fp12_sqr_mul_by_045(f, *unpack(ln)), None
 
-    f0 = tw.fp12_one(batch)
-    f, _ = jax.lax.scan(step, f0, (prep.coeffs, sqr_flags))
+    f = tw.fp12_one(batch)
+    for start, length, is_sqr in _SEGMENTS:
+        seg = jax.lax.slice_in_dim(lines, start, start + length, axis=0)
+        if is_sqr:
+            f, _ = jax.lax.scan(sqr_step, f, seg)
+        else:
+            f = tw.fp12_mul_by_045(f, *unpack(seg[0]))
     # z < 0: conjugate (pairings.rs:687-691)
     return tw.fp12_conjugate(f)
 

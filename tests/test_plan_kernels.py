@@ -90,6 +90,23 @@ def test_fp12_mul_by_045_plan_algebra():
     )
 
 
+def test_fp12_sqr_mul_by_045_plan_algebra():
+    """The fused Miller doubling-step plan == sqr then sparse multiply."""
+    f = _rand_fp12()
+    g0, g4, g5 = (_rand_f2p() for _ in range(3))
+    sparse = ((g0, (0, 0), (0, 0)), ((0, 0), g4, g5))
+    expect = hm.fp12_mul(hm.fp12_square(f), sparse)
+    _check(
+        pe.fp12_sqr_mul_by_045_plan(),
+        _flat(f) + [g0[0], g0[1], g4[0], g4[1], g5[0], g5[1]],
+        expect,
+    )
+
+
+def _rand_f2p():
+    return (random.randrange(P), random.randrange(P))
+
+
 def test_plan_kernel_interpret_tiny():
     """Kernel mechanics: modular add/sub/neg ripple networks + one radix-12
     sop group, in interpret mode, over edge values."""
