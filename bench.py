@@ -96,6 +96,10 @@ if CPU_FALLBACK:
     except Exception:
         pass
 
+from bls12_381_tpu import config as _bls_config
+
+_bls_config.harden_compile_cache()
+
 METRICS = {}
 
 

@@ -92,3 +92,48 @@ def configure_jax_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass
+    harden_compile_cache()
+
+
+def harden_compile_cache():
+    """Work around a segfault in zstandard's one-shot compression of
+    multi-GB serialized executables (observed twice on this host inside
+    jax compilation_cache.put_executable_and_time, killing the process
+    mid-suite): compress large entries with zlib instead and sniff the
+    frame format on read (zstd magic 28 B5 2F FD), so existing
+    zstd-compressed entries keep loading.  Idempotent."""
+    try:
+        from jax._src import compilation_cache as cc
+    except Exception:  # pragma: no cover - private-API drift
+        return
+    if getattr(cc, "_bls_cache_hardened", False):
+        return
+    import zlib
+
+    orig_compress = cc.compress_executable
+    zstd_mod = getattr(cc, "zstd", None)
+    zstandard_mod = getattr(cc, "zstandard", None)
+
+    def compress(executable: bytes) -> bytes:
+        # 64 MB threshold: zlib costs seconds on entries this size (vs the
+        # multi-minute compiles that produce them) and cannot segfault
+        if len(executable) < (64 << 20):
+            try:
+                return orig_compress(executable)
+            except Exception:
+                pass
+        return zlib.compress(executable, level=1)
+
+    def decompress(executable: bytes) -> bytes:
+        if executable[:4] == b"\x28\xb5\x2f\xfd":
+            if zstd_mod:
+                return zstd_mod.decompress(executable)
+            if zstandard_mod:
+                return zstandard_mod.ZstdDecompressor().decompress(
+                    executable
+                )
+        return zlib.decompress(executable)
+
+    cc.compress_executable = compress
+    cc.decompress_executable = decompress
+    cc._bls_cache_hardened = True

@@ -69,6 +69,10 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from bls12_381_tpu import config as _bls_config
+
+_bls_config.harden_compile_cache()
+
 VECTORS = pathlib.Path(__file__).resolve().parent / "vectors"
 
 
