@@ -42,6 +42,9 @@ class Config:
     plan_kernels: bool = bool(
         int(os.environ.get("BLS12_381_TPU_PLAN_KERNELS", "1"))
     )
+    # chain this many cyclotomic squarings per plan-kernel launch in the
+    # final-exp pow-by-|z| runs (1 disables chaining)
+    cyclo_fuse: int = int(os.environ.get("BLS12_381_TPU_CYCLO_FUSE", "4"))
     # default mesh axis name for parallel/*
     mesh_axis: str = os.environ.get("BLS12_381_TPU_MESH_AXIS", "x")
     # persistent compile cache directory ("" disables)

@@ -663,6 +663,27 @@ def fp12_cyclotomic_sqr(f):
             plan_exec.fp12_cyclotomic_sqr_plan(),
             _fp6_halves(f[0]) + _fp6_halves(f[1]),
         )
+    return _fp12_cyclotomic_sqr_jnp(f)
+
+
+def fp12_cyclotomic_sqr_k(f, k: int):
+    """k consecutive cyclotomic squarings — ONE fused plan kernel on TPU
+    (kernels/plan_exec.fp12_cyclotomic_sqr_k_plan); sequential squarings
+    otherwise.  Same cyclotomic-subgroup precondition as
+    fp12_cyclotomic_sqr."""
+    if k > 1 and _use_plan_kernels():
+        from ..kernels import plan_exec
+
+        return _run_fp12_plan(
+            plan_exec.fp12_cyclotomic_sqr_k_plan(k),
+            _fp6_halves(f[0]) + _fp6_halves(f[1]),
+        )
+    for _ in range(k):
+        f = fp12_cyclotomic_sqr(f)
+    return f
+
+
+def _fp12_cyclotomic_sqr_jnp(f):
     (a0, a1, a2), (b0, b1, b2) = f
 
     # all nine fp2 squarings in one fold: for each fp4 pair (x, y):

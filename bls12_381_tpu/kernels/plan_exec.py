@@ -258,12 +258,11 @@ def fp12_sqr_mul_by_045_plan():
     return _flatten12(*_f12_mul_by_045_sym(s0, s1, g0, g4, g5))
 
 
-@functools.lru_cache(maxsize=None)
-def fp12_cyclotomic_sqr_plan():
-    """Granger-Scott cyclotomic squaring (ePrint 2009/565), mirroring
-    tower.fp12_cyclotomic_sqr's block mapping: 12 input rows -> 12."""
-    a0, a1, a2 = ((inp(0), inp(1)), (inp(2), inp(3)), (inp(4), inp(5)))
-    b0, b1, b2 = ((inp(6), inp(7)), (inp(8), inp(9)), (inp(10), inp(11)))
+def _f12_cyclo_sqr_sym(blocks):
+    """One Granger-Scott cyclotomic squaring (ePrint 2009/565) over six
+    symbolic Fp2 blocks (a0, a1, a2, b0, b1, b2) — tower
+    fp12_cyclotomic_sqr's block mapping."""
+    a0, a1, a2, b0, b1, b2 = blocks
 
     def fp4_sqr(x, y):
         """t0 = x^2 + xi y^2, t1 = (x+y)^2 - x^2 - y^2."""
@@ -288,13 +287,32 @@ def fp12_cyclotomic_sqr_plan():
         u = f2_add(t, z)
         return f2_add(f2_add(u, u), t)
 
-    na0 = out3m2(t00, a0)
-    na1 = out3m2(t10, a1)
-    na2 = out3m2(t20, a2)
-    nb1 = out3p2(t01, b1)
-    nb2 = out3p2(t11, b2)
-    nb0 = out3p2(xt21, b0)
-    return _flatten12((na0, na1, na2), (nb0, nb1, nb2))
+    return (
+        out3m2(t00, a0),
+        out3m2(t10, a1),
+        out3m2(t20, a2),
+        out3p2(xt21, b0),
+        out3p2(t01, b1),
+        out3p2(t11, b2),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def fp12_cyclotomic_sqr_plan():
+    """Granger-Scott cyclotomic squaring: 12 input rows -> 12."""
+    return fp12_cyclotomic_sqr_k_plan(1)
+
+
+@functools.lru_cache(maxsize=None)
+def fp12_cyclotomic_sqr_k_plan(k: int):
+    """k CHAINED cyclotomic squarings in one kernel — the final-exp
+    pow-by-|z| chains are ~63 consecutive squarings per exponentiation
+    (315 per pairing), so fusing k of them cuts that launch count k-fold.
+    12 input rows -> 12."""
+    blocks = tuple((inp(2 * i), inp(2 * i + 1)) for i in range(6))
+    for _ in range(k):
+        blocks = _f12_cyclo_sqr_sym(blocks)
+    return tuple(n for f2 in blocks for n in f2)
 
 
 def eval_plan_host(outputs, values, p: int, r: int):

@@ -364,9 +364,27 @@ if _run:
 
 def _cyclotomic_exp_u(f):
     """f^|z| in the cyclotomic subgroup (vartime fixed schedule,
-    pairings.rs:115-132 analog), segmented by the static bit runs."""
+    pairings.rs:115-132 analog), segmented by the static bit runs.
+
+    On the plan-kernel path, runs execute as scans of k-CHAINED squaring
+    kernels (config.cyclo_fuse, tower.fp12_cyclotomic_sqr_k) — one launch
+    per k squarings — with the k-remainder as single squarings."""
 
     def sqr_n(acc, n):
+        from ..fields.tower import _use_plan_kernels
+        from .. import config
+
+        k = config.get().cyclo_fuse
+        if k > 1 and n >= k and _use_plan_kernels():
+            body = lambda a, _: (  # noqa: E731
+                tw.fp12_cyclotomic_sqr_k(a, k), None)
+            if n // k > 1:
+                acc, _ = jax.lax.scan(body, acc, None, length=n // k)
+            else:
+                acc = tw.fp12_cyclotomic_sqr_k(acc, k)
+            n = n % k
+        if n == 0:
+            return acc
         if n == 1:
             return tw.fp12_cyclotomic_sqr(acc)
         body = lambda a, _: (tw.fp12_cyclotomic_sqr(a), None)  # noqa: E731

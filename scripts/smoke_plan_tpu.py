@@ -65,6 +65,10 @@ CASES = [
      lambda: jax.jit(tw.fp12_mul_by_045)(a, g0, g4, g5)),
     ("fp12_sqr_mul_by_045",
      lambda: jax.jit(tw.fp12_sqr_mul_by_045)(a, g0, g4, g5)),
+    ("fp12_cyclo_sqr_k4",
+     lambda: jax.jit(lambda x: tw.fp12_cyclotomic_sqr_k(x, 4))(a)),
+    ("fp12_cyclo_sqr_k8",
+     lambda: jax.jit(lambda x: tw.fp12_cyclotomic_sqr_k(x, 8))(a)),
 ]
 
 for plan_on in (True, False):

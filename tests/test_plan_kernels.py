@@ -71,6 +71,19 @@ def test_fp12_cyclotomic_sqr_plan_algebra():
     _check(pe.fp12_cyclotomic_sqr_plan(), _flat(f), hm.fp12_square(f))
 
 
+def test_fp12_cyclotomic_sqr_k_plan_algebra():
+    """k-chained cyclotomic squaring plan == k host squarings (on a real
+    cyclotomic element) for every k used by the pow-by-|z| schedule."""
+    f = _rand_fp12()
+    f = hm.fp12_mul(hm.fp12_conjugate(f), hm.fp12_inv(f))
+    f = hm.fp12_mul(hm.fp12_frobenius(hm.fp12_frobenius(f)), f)
+    for k in (2, 4):
+        exp = f
+        for _ in range(k):
+            exp = hm.fp12_square(exp)
+        _check(pe.fp12_cyclotomic_sqr_k_plan(k), _flat(f), exp)
+
+
 def test_fp12_mul_by_045_plan_algebra():
     f = _rand_fp12()
     g0 = (random.randrange(P), random.randrange(P))
