@@ -4,6 +4,7 @@ Runs eagerly on CPU where possible — jit-compiling the larger tower ops takes
 minutes on the CPU backend and correctness is identical.
 """
 
+import os
 import random
 
 import numpy as np
@@ -371,6 +372,64 @@ def test_pallas_sop_kernel_interpret():
     assert [int(v) for v in fp.to_ints(got)] == [int(v) for v in ref]
 
 
+def test_pallas_sqr_kernel_interpret():
+    """The dedicated squaring kernel == the generic sop kernel on a*a
+    (random + edge values)."""
+    from bls12_381_tpu.kernels import pallas_mont
+
+    vals = [0, 1, P - 1, P - 2] + rints(28, P)
+    a = fp.from_ints(vals)[None]
+    kw = dict(
+        n_limbs=lb.FP.n_limbs,
+        inv16=lb.FP.inv16,
+        p_limbs=tuple(int(x) for x in lb.FP.p_limbs),
+        block_b=32,
+        interpret=True,
+    )
+    sq = np.asarray(pallas_mont.sqr_pallas(a, **kw))
+    mm = np.asarray(pallas_mont.sop_pallas(a, a, **kw))
+    assert np.array_equal(sq[0], mm)
+    got = [int(v) for v in fp.to_ints(jnp_asarray(sq[0]))]
+    assert got == [x * x % P for x in vals]
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def test_pallas_sop_kernel_fr_v2_interpret():
+    """The 16-bit register kernel (the production route for Fr, whose
+    limb count is not radix-12 compatible) must match the jnp path."""
+    import jax.numpy as jnp
+
+    from bls12_381_tpu.kernels import pallas_mont
+
+    nb = 32
+    pa = [rints(nb, Q) for _ in range(2)]
+    pb = [rints(nb, Q) for _ in range(2)]
+    pairs = [(fr.from_ints(x), fr.from_ints(y)) for x, y in zip(pa, pb)]
+    ref = fr.to_ints(lb.sum_of_products(lb.FR, pairs))
+    got = pallas_mont.sop_pallas(
+        jnp.stack([p[0] for p in pairs]),
+        jnp.stack([p[1] for p in pairs]),
+        n_limbs=lb.FR.n_limbs,
+        inv16=lb.FR.inv16,
+        p_limbs=tuple(int(x) for x in lb.FR.p_limbs),
+        block_b=32,
+        interpret=True,
+    )
+    assert [int(v) for v in fr.to_ints(got)] == [int(v) for v in ref]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("BLS12_381_TPU_HEAVY_TESTS"),
+    reason="v1 scratch-ref interpret compile takes >100 min on the 1-core "
+    "box and interpret executables do not persist in the compile cache; "
+    "production kernels (v3 radix-12, v2 register, sqr) are covered by "
+    "the other interpret tests.  Set BLS12_381_TPU_HEAVY_TESTS=1 to run.",
+)
 def test_pallas_kernel_versions_and_sqr_interpret():
     """All kernel variants (scratch-ref v1, 16-bit register v2, radix-12 v3)
     and the dedicated squaring kernel agree bit-exactly on random and edge
