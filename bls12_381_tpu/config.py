@@ -98,6 +98,29 @@ def configure_jax_cache():
     harden_compile_cache()
 
 
+@contextlib.contextmanager
+def no_cache_write():
+    """Suppress persistent-compile-cache WRITES inside the scope.
+
+    XLA's executable.serialize() segfaults on some very large 8-device
+    SPMD CPU executables (observed: the element-wise sharded pairing on a
+    virtual mesh — rc=139 with the fault inside put_executable_and_time's
+    serialize call, which no Python-level hardening can catch).  Reads
+    still hit, so cached graphs stay fast; the skipped graph simply
+    recompiles next run."""
+    try:
+        from jax._src import compilation_cache as cc
+    except Exception:  # pragma: no cover - private-API drift
+        yield
+        return
+    orig = cc.put_executable_and_time
+    cc.put_executable_and_time = lambda *a, **k: None
+    try:
+        yield
+    finally:
+        cc.put_executable_and_time = orig
+
+
 def harden_compile_cache():
     """Work around a segfault in zstandard's one-shot compression of
     multi-GB serialized executables (observed twice on this host inside

@@ -166,11 +166,17 @@ def test_pairing_sharded_aggregate_final_exp(cpu_mesh_8):
 
 def test_pairing_sharded_elementwise(cpu_mesh_8):
     """aggregate=False: element-wise sharded pairings (incl. final exp) must
-    equal the host oracle pairing lane by lane."""
+    equal the host oracle pairing lane by lane.
+
+    Cache writes are suppressed: XLA's executable.serialize() segfaults on
+    this executable (the largest 8-device SPMD graph in the suite)."""
+    from bls12_381_tpu import config
+
     mesh = cpu_mesh_8
     b = 8
     phs, qhs, p_aff, q_aff = _pairing_batch_inputs(b)
-    out = pairing_sharded(mesh, p_aff, q_aff, aggregate=False)
+    with config.no_cache_write():
+        out = pairing_sharded(mesh, p_aff, q_aff, aggregate=False)
     for i in range(b):
         assert _dec12_at(out, i) == hm.pairing(phs[i], qhs[i]), i
 
