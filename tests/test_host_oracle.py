@@ -8,6 +8,7 @@ Oracles used (see SURVEY.md §4):
 """
 
 import json
+import os
 import random
 
 import pytest
@@ -23,7 +24,11 @@ from bls12_381_tpu.params import (
 )
 from conftest import VECTORS
 
-N_WALK = 250  # multiples of the generator checked against the .dat files
+# Multiples of the generator checked against the .dat files: the pure-Python
+# decompression (one sqrt-by-pow per entry) dominates fast-tier wall time, so
+# the default samples a prefix; the full 1000-entry walk (the reference's
+# tests/mod.rs:3-28 workload) runs in the heavy tier.
+N_WALK = 1000 if os.environ.get("BLS12_381_TPU_HEAVY_TESTS") == "1" else 64
 
 
 def load_consts():

@@ -8,6 +8,11 @@ import jax.numpy as jnp
 import numpy as np
 
 import conftest  # noqa: F401
+import pytest
+
+# 8-device SPMD CPU compiles take minutes each - heavy tier (fast-tier
+# coverage: the driver's dryrun_multichip compiles+runs the same paths)
+pytestmark = pytest.mark.heavy
 from bls12_381_tpu import hostmath as hm
 from bls12_381_tpu.curves import g1
 from bls12_381_tpu.fields import fp, fr, tower as tw

@@ -59,6 +59,7 @@ def test_msm_with_zero_scalars():
     assert dec_point(out) == expected
 
 
+@pytest.mark.heavy
 def test_msm_g2_matches_serial():
     from bls12_381_tpu.curves import g2
     from bls12_381_tpu.fields import tower as tw
@@ -87,6 +88,7 @@ def test_msm_g2_matches_serial():
     assert got == expected
 
 
+@pytest.mark.heavy
 def test_msm_g1_production_window():
     """c=12 (the config.msm_window default): exercises signed digits whose
     windows straddle >= 2 limbs, the 2^11-bucket searchsorted tail
@@ -160,6 +162,7 @@ print(json.dumps(res))
 """
 
 
+@pytest.mark.heavy
 def test_msm_g2_gls_production_window():
     """G2 MSM through the 4-way psi (GLS) split at a multi-limb-straddling
     window (c=10), plus the plain 255-bit path, vs the fold of serial host

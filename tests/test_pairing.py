@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +68,7 @@ def test_prepared_coeff_count():
     assert pmod.N_DOUBLING_STEPS == 63
 
 
+@pytest.mark.heavy
 def test_pairing_bit_exact_vs_host():
     p_aff, q_aff = enc_points()
     res = pr.pairing(p_aff, q_aff)
@@ -73,6 +76,7 @@ def test_pairing_bit_exact_vs_host():
         assert dec12_at(res, i) == hm.pairing(PHS[i], QHS[i]), i
 
 
+@pytest.mark.heavy
 def test_identity_masking():
     p_aff, q_aff = enc_points()
     p_inf = (p_aff[0], p_aff[1], jnp.array([True, False, False, True]))
@@ -87,6 +91,7 @@ def test_identity_masking():
         assert dec12_at(res, i) == exp, i
 
 
+@pytest.mark.heavy
 def test_multi_miller_loop():
     p_aff, q_aff = enc_points()
     prep = pr.prepare_g2(q_aff)
@@ -97,6 +102,7 @@ def test_multi_miller_loop():
     assert dec12_scalar(agg) == hm.final_exponentiation(acc)
 
 
+@pytest.mark.heavy
 def test_bilinearity_on_device():
     """e([a]g1, [b]g2) == e(g1, g2)^(ab): derived fully on device values."""
     p_aff, q_aff = enc_points()
@@ -106,6 +112,7 @@ def test_bilinearity_on_device():
         assert dec12_at(res, i) == hm.fp12_pow(base, AV[i] * BV[i] % Q), i
 
 
+@pytest.mark.heavy
 def test_gt_group_ops():
     """Additive Gt API (pairings.rs:204-337): generator, add/neg/double,
     scalar mul vs e([k]P, Q)."""
