@@ -22,7 +22,7 @@ at the batch sizes of BASELINE.md configs 1-5.
 Budget discipline (round-3 verdict items 1-2):
   * Sections run most-valuable-first: fields -> pairing -> curves -> h2c ->
     NTT -> MSM, with the 2^24 MSM row LAST.  A global deadline
-    (BLS12_381_TPU_BENCH_DEADLINE seconds of process wall time, default 420)
+    (BLS12_381_TPU_BENCH_DEADLINE seconds of process wall time, default 900)
     is checked before every row; rows past it emit `<key>_skipped_deadline`.
   * The headline JSON line is emitted from an atexit hook (SIGTERM/SIGINT
     exit cleanly through it), so even a driver kill leaves a parseable
@@ -46,7 +46,7 @@ import sys
 import time
 
 _T0 = time.monotonic()
-DEADLINE_S = float(os.environ.get("BLS12_381_TPU_BENCH_DEADLINE", "420"))
+DEADLINE_S = float(os.environ.get("BLS12_381_TPU_BENCH_DEADLINE", "900"))
 
 # Persistent compile cache: bench runs in a fresh process (no conftest).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -285,62 +285,42 @@ def bench_pairing():
         t = _time_fetch(_tiny_out(pr_mod.final_exponentiation), f,
                         key="final_exp")
         emit("final_exp/s (batch 64)", round(64 / t, 1))
-    if not over_deadline("pairing"):
-        t1 = _time_fetch(_tiny_out(pr_mod.pairing), p_aff, q_aff,
-                         key="pairing")
-        emit("pairing/s (batch 64, incl fetch overhead)", round(64 / t1, 1))
+    # One compiled single-pairing graph per batch size; the fixed
+    # dispatch/fetch round-trip (~25 ms on the tunneled platform, it would
+    # swamp a 64-batch measurement) cancels by differencing batch sizes —
+    # the same overhead-cancellation as a chained-instances graph at a third
+    # of the compile cost (a k-instance graph compiles k pairings).
+    def tile(bs):
+        r = bs // 64
+        p_b = (jnp.tile(p_aff[0], (1, r)), jnp.tile(p_aff[1], (1, r)),
+               jnp.tile(p_aff[2], (r,)))
+        q_b = (tuple(jnp.tile(c, (1, r)) for c in q_aff[0]),
+               tuple(jnp.tile(c, (1, r)) for c in q_aff[1]),
+               jnp.tile(q_aff[2], (r,)))
+        return p_b, q_b
 
-    # overhead-cancelled: k pairing batches multiplied inside ONE graph;
-    # marginal rate cancels the fixed dispatch/fetch round-trip (which on the
-    # tunneled platform is ~25 ms and would swamp a 64-batch measurement)
-    def many(k):
-        # chain each instance's G1 input through the previous result's
-        # infinity mask (value-preserving but data-dependent, so instances
-        # cannot be collapsed or reordered away)
-        def fn(p, q):
-            out = None
-            for _ in range(k):
-                e = pr_mod.pairing(p, q)
-                out = e if out is None else tw.fp12_mul(out, e)
-                # limbs are canonical (< 2^16), so this is always False at
-                # runtime but not statically provable — a value-preserving
-                # data dependency
-                dep = p[2] | (e[0][0][0][0] > jnp.uint32(0xFFFF))
-                p = (p[0], p[1], dep)
-            return jax.tree.map(lambda v: v.reshape(-1)[:8], out)
-
-        return jax.jit(fn)
-
-    if not over_deadline("pairing_marginal"):
-        t3 = _time_fetch(many(3), p_aff, q_aff, reps=2,
-                         key="pairing_marginal")
-        t1b = _time_fetch(many(1), p_aff, q_aff, reps=2)
-        rate = 64 * 2 / max(t3 - t1b, 1e-9)
-        emit("pairing/s (batch 64, marginal)", round(rate, 1))
-
-    # throughput regime: batch 256 / 1024 (the 64-batch numbers sit in the
-    # launch-bound regime; a TPU should win at large batch).  Inputs tile
-    # the 64-lane set — values are irrelevant to timing, shapes are what's
-    # measured.
-    for bs in (256, 1024):
+    pair_fn = _tiny_out(pr_mod.pairing)
+    times = {}
+    for bs in (64, 128, 1024):
         key = f"pairing_batch{bs}"
         if over_deadline(key):
             continue
         try:
-            reps_t = bs // 64
-            p_b = (jnp.tile(p_aff[0], (1, reps_t)),
-                   jnp.tile(p_aff[1], (1, reps_t)),
-                   jnp.tile(p_aff[2], (reps_t,)))
-            q_b = (tuple(jnp.tile(c, (1, reps_t)) for c in q_aff[0]),
-                   tuple(jnp.tile(c, (1, reps_t)) for c in q_aff[1]),
-                   jnp.tile(q_aff[2], (reps_t,)))
-            t3b = _time_fetch(many(3), p_b, q_b, reps=2, key=key)
-            t1c = _time_fetch(many(1), p_b, q_b, reps=2)
-            emit(f"pairing/s (batch {bs}, marginal)",
-                 round(bs * 2 / max(t3b - t1c, 1e-9), 1))
+            args = (p_aff, q_aff) if bs == 64 else tile(bs)
+            times[bs] = _time_fetch(pair_fn, *args, reps=3, key=key)
         except Exception as e:
             emit(f"{key}_error", type(e).__name__)
             log(f"pairing batch {bs} failed: {e}")
+    if 64 in times:
+        emit("pairing/s (batch 64, incl fetch overhead)",
+             round(64 / times[64], 1))
+    if 64 in times and 128 in times:
+        emit("pairing/s (batch 64, marginal)",
+             round(64 / max(times[128] - times[64], 1e-9), 1))
+    if 64 in times and 1024 in times:
+        emit("pairing_batch1024_s", round(times[1024], 4))
+        emit("pairing/s (batch 1024, marginal)",
+             round(960 / max(times[1024] - times[64], 1e-9), 1))
 
 
 def bench_curves():

@@ -45,6 +45,10 @@ class Config:
     # chain this many cyclotomic squarings per plan-kernel launch in the
     # final-exp pow-by-|z| runs (1 disables chaining)
     cyclo_fuse: int = int(os.environ.get("BLS12_381_TPU_CYCLO_FUSE", "4"))
+    # windowed scalar-mul table lookup: "onehot" (signed digits, one-hot
+    # multiply-accumulate), "tree" (signed digits, masked-select tree), or
+    # "unsigned" (round-3 path: unsigned digits, 2^w-leaf select tree)
+    smul_lookup: str = os.environ.get("BLS12_381_TPU_SMUL_LOOKUP", "onehot")
     # default mesh axis name for parallel/*
     mesh_axis: str = os.environ.get("BLS12_381_TPU_MESH_AXIS", "x")
     # persistent compile cache directory ("" disables)

@@ -7,6 +7,8 @@ bits — reference notes/serialization.rs).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,7 +105,7 @@ def scalar_mul(p, scalars_mont):
     Valid for points in the prime-order subgroup (where Fr scalars act);
     use scalar_mul_generic for arbitrary curve points.
     """
-    from .. import limbs
+    from .. import config, limbs
 
     zsq = params.BLS_X ** 2  # z^2 (positive, ~2^127.3)
     canon = limbs.from_mont(FR, scalars_mont)  # [16, *batch]
@@ -113,9 +115,16 @@ def scalar_mul(p, scalars_mont):
     batch = p[0].shape[1:]
     beta = fp.const(BETA, batch)
     p2 = (fp.mul(beta, p[0]), fp.neg(p[1]), p[2])
-    d1 = limbs.digits4_msb(k1, 128)
-    d2 = limbs.digits4_msb(k2, 128)
-    return CURVE.multi_scalar_mul_windowed([p, p2], [d1, d2])
+    lookup = config.get().smul_lookup
+    if lookup == "unsigned":
+        d1 = limbs.digits4_msb(k1, 128)
+        d2 = limbs.digits4_msb(k2, 128)
+        return CURVE.multi_scalar_mul_windowed([p, p2], [d1, d2])
+    return CURVE.multi_scalar_mul_signed(
+        [p, p2],
+        [limbs.signed_digits_msb(k1, 128), limbs.signed_digits_msb(k2, 128)],
+        lookup=lookup,
+    )
 
 
 @jax.jit
@@ -214,6 +223,30 @@ def to_uncompressed_host(aff) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("check_subgroup",))
+def _decompress_device(x, inf, sort, check_subgroup: bool):
+    """Device half of decompression in ONE graph (eager field ops would pay
+    a tunnel round-trip per op): sqrt-based y recovery, sign select, identity
+    masking, and (optionally) the endomorphism subgroup check."""
+    batch = inf.shape
+    # y^2 = x^3 + 4
+    rhs = fp.add(fp.mul(fp.sqr(x), x), fp.const(params.B_G1, batch))
+    y, on_curve = fp.sqrt(rhs)
+    flip = fp.lexicographically_largest(y) != sort
+    y = fp.select(flip, fp.neg(y), y)
+    aff = (
+        fp.select(inf, fp.zero(batch), x),
+        fp.select(inf, fp.one(batch), y),
+        inf,
+    )
+    tf = (
+        is_torsion_free(from_affine(aff))
+        if check_subgroup
+        else jnp.ones(batch, dtype=bool)
+    )
+    return aff, on_curve, fp.is_zero(x), tf
+
+
 def from_compressed_host(data: np.ndarray, check_subgroup: bool = True):
     """uint8[*batch, 48] -> (affine point batch, valid mask).
 
@@ -227,26 +260,33 @@ def from_compressed_host(data: np.ndarray, check_subgroup: bool = True):
     body = data.copy()
     body[..., 0] &= 0b0001_1111
     x, x_ok = fp.from_bytes_host(body)
-    batch = inf.shape
-    # y^2 = x^3 + 4
-    rhs = fp.add(fp.mul(fp.sqr(x), x), fp.const(params.B_G1, batch))
-    y, on_curve = fp.sqrt(rhs)
-    flip = np.asarray(fp.lexicographically_largest(y)) != sort
-    y = fp.select(jnp.asarray(flip), fp.neg(y), y)
-    x_is_zero = np.asarray(fp.is_zero(x))
+    aff, on_curve, x_is_zero, tf = _decompress_device(
+        x, jnp.asarray(inf), jnp.asarray(sort), check_subgroup
+    )
     valid = (comp == 1) & x_ok
     # infinity: x must be 0, sort must be clear
-    valid &= ~inf | (x_is_zero & ~sort)
+    valid &= ~inf | (np.asarray(x_is_zero) & ~sort)
     valid &= inf | np.asarray(on_curve)
-    aff = (
-        fp.select(jnp.asarray(inf), fp.zero(batch), x),
-        fp.select(jnp.asarray(inf), fp.one(batch), y),
-        jnp.asarray(inf),
-    )
     if check_subgroup:
-        tf = np.asarray(is_torsion_free(from_affine(aff)))
-        valid &= tf | inf
+        valid &= np.asarray(tf) | inf
     return aff, valid
+
+
+@functools.partial(jax.jit, static_argnames=("check",))
+def _from_uncompressed_device(x, y, inf, check: bool):
+    batch = inf.shape
+    zeros = fp.is_zero(x) & fp.is_zero(y)
+    aff = (
+        fp.select(inf, fp.zero(batch), x),
+        fp.select(inf, fp.one(batch), y),
+        inf,
+    )
+    if check:
+        proj = from_affine(aff)
+        ok = is_on_curve(proj) & (is_torsion_free(proj) | inf)
+    else:
+        ok = jnp.ones(batch, dtype=bool)
+    return aff, zeros, ok
 
 
 def from_uncompressed_host(data: np.ndarray, check: bool = True):
@@ -258,18 +298,8 @@ def from_uncompressed_host(data: np.ndarray, check: bool = True):
     body[..., 0] &= 0b0001_1111
     x, x_ok = fp.from_bytes_host(body)
     y, y_ok = fp.from_bytes_host(data[..., 48:96])
-    batch = inf.shape
+    aff, zeros, ok = _from_uncompressed_device(x, y, jnp.asarray(inf), check)
     valid = (comp == 0) & ~sort & x_ok & y_ok
-    zeros = np.asarray(fp.is_zero(x)) & np.asarray(fp.is_zero(y))
-    valid &= ~inf | zeros
-    aff = (
-        fp.select(jnp.asarray(inf), fp.zero(batch), x),
-        fp.select(jnp.asarray(inf), fp.one(batch), y),
-        jnp.asarray(inf),
-    )
-    if check:
-        proj = from_affine(aff)
-        valid &= np.asarray(is_on_curve(proj)) & (
-            np.asarray(is_torsion_free(proj)) | inf
-        )
+    valid &= ~inf | np.asarray(zeros)
+    valid &= np.asarray(ok)
     return aff, valid

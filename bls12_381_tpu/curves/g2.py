@@ -7,6 +7,8 @@ with Fp2 written c1 || c0 (g2.rs:254-282).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -110,7 +112,7 @@ def scalar_mul(p, scalars_mont):
     64-bit mini-scalars: 64 doublings instead of 255.  Valid on the
     prime-order subgroup; use scalar_mul_generic for arbitrary points.
     """
-    from .. import limbs
+    from .. import config, limbs
 
     x = params.BLS_X
     canon = limbs.from_mont(_g1.FR, scalars_mont)  # [16, *batch]
@@ -123,14 +125,19 @@ def scalar_mul(p, scalars_mont):
     p2 = CURVE.neg(pp)               # [|z|]P
     p3 = psi(pp)                     # [|z|^2]P
     p4 = CURVE.neg(psi(p3))          # [|z|^3]P
-    digits = [
-        limbs.digits4_msb(c0, 64),
-        limbs.digits4_msb(q1, 64),
-        limbs.digits4_msb(q2, 64),
-        limbs.digits4_msb(q3, 64),
-    ]
-    return CURVE.multi_scalar_mul_windowed(
-        [p1, p2, p3, p4], digits
+    lookup = config.get().smul_lookup
+    if lookup == "unsigned":
+        digits = [
+            limbs.digits4_msb(c0, 64),
+            limbs.digits4_msb(q1, 64),
+            limbs.digits4_msb(q2, 64),
+            limbs.digits4_msb(q3, 64),
+        ]
+        return CURVE.multi_scalar_mul_windowed([p1, p2, p3, p4], digits)
+    return CURVE.multi_scalar_mul_signed(
+        [p1, p2, p3, p4],
+        [limbs.signed_digits_msb(k, 64) for k in (c0, q1, q2, q3)],
+        lookup=lookup,
     )
 
 
@@ -245,6 +252,30 @@ def _fp2_from_bytes(data):
     return (c0, c1), ok0 & ok1
 
 
+@functools.partial(jax.jit, static_argnames=("check_subgroup",))
+def _decompress_device(x, inf, sort, check_subgroup: bool):
+    """Device half of decompression in ONE graph (see g1._decompress_device;
+    eager field ops would pay a tunnel round-trip per op)."""
+    batch = inf.shape
+    rhs = tw.fp2_add(
+        tw.fp2_mul(tw.fp2_sqr(x), x), tw.fp2_const(params.B_G2, batch)
+    )
+    y, on_curve = tw.fp2_sqrt(rhs)
+    flip = tw.fp2_lexicographically_largest(y) != sort
+    y = tw.fp2_select(flip, tw.fp2_neg(y), y)
+    aff = (
+        tw.fp2_select(inf, tw.fp2_zero(batch), x),
+        tw.fp2_select(inf, tw.fp2_one(batch), y),
+        inf,
+    )
+    tf = (
+        is_torsion_free(from_affine(aff))
+        if check_subgroup
+        else jnp.ones(batch, dtype=bool)
+    )
+    return aff, on_curve, tw.fp2_is_zero(x), tf
+
+
 def from_compressed_host(data: np.ndarray, check_subgroup: bool = True):
     data = np.asarray(data, dtype=np.uint8)
     comp = (data[..., 0] >> 7) & 1
@@ -253,27 +284,32 @@ def from_compressed_host(data: np.ndarray, check_subgroup: bool = True):
     body = data.copy()
     body[..., 0] &= 0b0001_1111
     x, x_ok = _fp2_from_bytes(body[..., :96])
-    batch = inf.shape
-    rhs = tw.fp2_add(
-        tw.fp2_mul(tw.fp2_sqr(x), x), tw.fp2_const(params.B_G2, batch)
+    aff, on_curve, x_is_zero, tf = _decompress_device(
+        x, jnp.asarray(inf), jnp.asarray(sort), check_subgroup
     )
-    y, on_curve = tw.fp2_sqrt(rhs)
-    flip = np.asarray(tw.fp2_lexicographically_largest(y)) != sort
-    y = tw.fp2_select(jnp.asarray(flip), tw.fp2_neg(y), y)
-    x_is_zero = np.asarray(tw.fp2_is_zero(x))
     valid = (comp == 1) & x_ok
-    valid &= ~inf | (x_is_zero & ~sort)
+    valid &= ~inf | (np.asarray(x_is_zero) & ~sort)
     valid &= inf | np.asarray(on_curve)
-    m = jnp.asarray(inf)
-    aff = (
-        tw.fp2_select(m, tw.fp2_zero(batch), x),
-        tw.fp2_select(m, tw.fp2_one(batch), y),
-        m,
-    )
     if check_subgroup:
-        tf = np.asarray(is_torsion_free(from_affine(aff)))
-        valid &= tf | inf
+        valid &= np.asarray(tf) | inf
     return aff, valid
+
+
+@functools.partial(jax.jit, static_argnames=("check",))
+def _from_uncompressed_device(x, y, inf, check: bool):
+    batch = inf.shape
+    zeros = tw.fp2_is_zero(x) & tw.fp2_is_zero(y)
+    aff = (
+        tw.fp2_select(inf, tw.fp2_zero(batch), x),
+        tw.fp2_select(inf, tw.fp2_one(batch), y),
+        inf,
+    )
+    if check:
+        proj = from_affine(aff)
+        ok = is_on_curve(proj) & (is_torsion_free(proj) | inf)
+    else:
+        ok = jnp.ones(batch, dtype=bool)
+    return aff, zeros, ok
 
 
 def from_uncompressed_host(data: np.ndarray, check: bool = True):
@@ -285,19 +321,8 @@ def from_uncompressed_host(data: np.ndarray, check: bool = True):
     body[..., 0] &= 0b0001_1111
     x, x_ok = _fp2_from_bytes(body)
     y, y_ok = _fp2_from_bytes(data[..., 96:192])
-    batch = inf.shape
+    aff, zeros, ok = _from_uncompressed_device(x, y, jnp.asarray(inf), check)
     valid = (comp == 0) & ~sort & x_ok & y_ok
-    zeros = np.asarray(tw.fp2_is_zero(x)) & np.asarray(tw.fp2_is_zero(y))
-    valid &= ~inf | zeros
-    m = jnp.asarray(inf)
-    aff = (
-        tw.fp2_select(m, tw.fp2_zero(batch), x),
-        tw.fp2_select(m, tw.fp2_one(batch), y),
-        m,
-    )
-    if check:
-        proj = from_affine(aff)
-        valid &= np.asarray(is_on_curve(proj)) & (
-            np.asarray(is_torsion_free(proj)) | inf
-        )
+    valid &= ~inf | np.asarray(zeros)
+    valid &= np.asarray(ok)
     return aff, valid

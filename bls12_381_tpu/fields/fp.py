@@ -41,6 +41,13 @@ def inv(a):
     return limbs.pow_fixed(FP, a, params.P - 2)
 
 
+def pow(a, exp_limbs):
+    """a^e with a runtime exponent tensor (ff::Field::pow analog; see
+    limbs.pow_runtime).  For static public exponents use limbs.pow_fixed —
+    its windowed schedule is ~4x fewer multiplies."""
+    return limbs.pow_runtime(FP, a, exp_limbs)
+
+
 def batch_inv(a):
     """Elementwise inverse amortized over the last batch axis (the batched
     analog of the reference's batch_normalize trick, g1.rs:806-839)."""

@@ -43,6 +43,13 @@ def inv(a):
     return limbs.pow_fixed(FR, a, params.Q - 2)
 
 
+def pow(a, exp_limbs):
+    """a^e with a runtime exponent tensor — `ff::Field::pow` parity
+    (reference scalar.rs:373-390).  exp_limbs: canonical limb rows, e.g.
+    `limbs.from_mont(FR, s)` for an Fr-valued exponent."""
+    return limbs.pow_runtime(FR, a, exp_limbs)
+
+
 def batch_inv(a):
     """Product-tree amortized elementwise inverse (g1.rs:806-839 analog)."""
     return limbs.batch_inv(FR, a)

@@ -605,6 +605,43 @@ def digits4_msb(limbs_tensor: jnp.ndarray, n_bits: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def signed_digits_msb(limbs_tensor: jnp.ndarray, n_bits: int,
+                      window: int = 4):
+    """Balanced (signed) window digits of canonical limb tensors, MSB first.
+
+    Returns (mags, negs): [n_digits, *batch] int32 magnitudes in
+    [0, 2^(window-1)] and sign masks.  Balanced digits halve the lookup
+    table of a windowed scalar mul (entries 1..2^(w-1); negation is one
+    masked y-negate).  n_digits covers n_bits + 1 so the final borrow-carry
+    always fits in a non-negative top digit.
+    """
+    n_digits = -(-(n_bits + 1) // window)
+    half, full = 1 << (window - 1), 1 << window
+    mask = np.uint32(full - 1)
+    mags, negs = [], []
+    carry = jnp.zeros(limbs_tensor.shape[1:], jnp.int32)
+    for w in range(n_digits):  # LSB-first recode
+        lo_bit = window * w
+        raw = jnp.zeros(limbs_tensor.shape[1:], jnp.uint32)
+        hi_limb = min((lo_bit + window - 1) // 16 + 1,
+                      limbs_tensor.shape[0])
+        for limb in range(lo_bit // 16, hi_limb):
+            shift = limb * 16 - lo_bit
+            part = limbs_tensor[limb].astype(jnp.uint32)
+            raw = raw | (part << shift if shift >= 0 else part >> -shift)
+        t = (raw & mask).astype(jnp.int32) + carry
+        if w == n_digits - 1:
+            d = t
+            carry = None
+        else:
+            borrow = t >= half
+            d = jnp.where(borrow, t - full, t)
+            carry = borrow.astype(jnp.int32)
+        mags.append(jnp.abs(d))
+        negs.append(d < 0)
+    return jnp.stack(mags[::-1]), jnp.stack(negs[::-1])
+
+
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == 0, axis=0)
 
@@ -679,6 +716,34 @@ def pow_fixed(spec: FieldSpec, a: jnp.ndarray, exponent: int,
         return mont_mul(spec, acc, sel[0]), None
 
     acc, _ = jax.lax.scan(step, one, jnp.asarray(digits))
+    return acc
+
+
+def pow_runtime(spec: FieldSpec, a: jnp.ndarray,
+                exp_limbs: jnp.ndarray) -> jnp.ndarray:
+    """a^e with a RUNTIME exponent tensor — the analog of `ff::Field::pow`
+    (reference scalar.rs:373-390), where the exponent is data, not schedule.
+
+    exp_limbs: canonical 16-bit limb rows [n_exp_limbs, *batch] (the same
+    layout as a non-Montgomery field tensor, so `from_mont(FR, s)` output
+    works directly).  Constant-schedule MSB-first square-and-multiply over
+    all 16*n_exp_limbs bits with a masked multiply per bit — the batched
+    translation of the reference's per-bit CtOption select.
+    """
+    n_bits = 16 * exp_limbs.shape[0]
+    rows = [
+        (((exp_limbs[j // 16] >> np.uint32(j % 16)) & np.uint32(1)) != 0)
+        for j in range(n_bits - 1, -1, -1)
+    ]
+    bits = jnp.stack(rows)  # [n_bits, *batch] MSB-first
+    one = jnp.broadcast_to(_bcast(spec.one_mont, a), a.shape)
+
+    def step(acc, bit):
+        acc = mont_sqr(spec, acc)
+        mul = mont_mul(spec, acc, a)
+        return select(bit, mul, acc), None
+
+    acc, _ = jax.lax.scan(step, one, bits)
     return acc
 
 

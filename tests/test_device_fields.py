@@ -537,3 +537,63 @@ def test_pallas_butterfly_interpret():
         t = vb[i] * vw[i] % Q
         assert lo[i] == (va[i] + t) % Q, i
         assert hi[i] == (va[i] - t) % Q, i
+
+
+def test_pow_runtime_matches_host():
+    """Runtime-exponent pow (ff::Field::pow parity, scalar.rs:373-390):
+    per-lane exponent tensors, edge exponents 0 / 1 / q-1."""
+    import random as _r
+
+    from bls12_381_tpu import limbs as lb
+    from bls12_381_tpu import params
+    from bls12_381_tpu.fields import fp, fr
+
+    _r.seed(23)
+    bases = [_r.randrange(params.Q) for _ in range(4)]
+    exps = [0, 1, params.Q - 1, _r.randrange(params.Q)]
+    a = fr.from_ints(bases)
+    e = fr.from_ints(exps, to_mont=False)
+    got = [int(v) for v in fr.to_ints(fr.pow(a, e))]
+    assert got == [pow(b, x, params.Q) for b, x in zip(bases, exps)]
+
+    bases_p = [_r.randrange(params.P) for _ in range(2)]
+    exps_p = [3, _r.randrange(1 << 64)]
+    ap = fp.from_ints(bases_p)
+    # Fp exponents as 16-bit limb rows (4 limbs = 64-bit exponents)
+    import jax.numpy as jnp
+    import numpy as np
+
+    rows = np.zeros((4, 2), dtype=np.uint32)
+    for i, x in enumerate(exps_p):
+        for j in range(4):
+            rows[j, i] = (x >> (16 * j)) & 0xFFFF
+    got_p = [int(v) for v in fp.to_ints(fp.pow(ap, jnp.asarray(rows)))]
+    assert got_p == [pow(b, x, params.P) for b, x in zip(bases_p, exps_p)]
+
+
+def test_signed_digits_msb_reconstruct():
+    """Balanced window digits (limbs.signed_digits_msb): MSB-first Horner
+    reconstruction recovers the value, magnitudes stay <= 2^(w-1)."""
+    import random as _r
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bls12_381_tpu import limbs
+
+    _r.seed(5)
+    vals = [0, 1, (1 << 128) - 1, _r.randrange(1 << 128),
+            0xD201000000010000 ** 2 - 1]
+    rows = np.zeros((16, len(vals)), dtype=np.uint32)
+    for i, v in enumerate(vals):
+        for j in range(16):
+            rows[j, i] = (v >> (16 * j)) & 0xFFFF
+    for w in (2, 4, 5):
+        mags, negs = limbs.signed_digits_msb(jnp.asarray(rows), 128, window=w)
+        mags, negs = np.asarray(mags), np.asarray(negs)
+        for i, v in enumerate(vals):
+            acc = 0
+            for d in range(mags.shape[0]):
+                acc = (acc << w) + int(mags[d, i]) * (-1 if negs[d, i] else 1)
+            assert acc == v, (w, i)
+            assert mags[:, i].max() <= 1 << (w - 1), (w, i)

@@ -206,6 +206,24 @@ def test_msm_g2_gls_production_window():
         assert g == expected
 
 
+def test_msm_g1_large_chunked_path():
+    """msm_g1_large's chunk-fold logic (ops/msm.py): a batch that is neither
+    a power of the chunk size nor a multiple of it (B = 2.5 chunks) must
+    equal the serial fold — round-3 verdict weak #7 (the chunked path had no
+    test at any size)."""
+    chunk_log2 = 3
+    n = 20  # 2.5 chunks of 8
+    ks = [random.randrange(Q) for _ in range(n)]
+    host_pts = [hm.g1_mul(G1_GEN, random.randrange(1, 1 << 20))
+                for _ in range(n)]
+    expected = None
+    for k, p in zip(ks, host_pts):
+        expected = hm.g1_add(expected, hm.g1_mul(p, k))
+    out = msm.msm_g1_large(enc_points(host_pts), fr.from_ints(ks), c=4,
+                           chunk_log2=chunk_log2)
+    assert dec_point(out) == expected
+
+
 def test_ntt_roundtrip_and_reference_eval():
     n = 32
     coeffs = [random.randrange(Q) for _ in range(n)]
