@@ -301,7 +301,7 @@ def bench_pairing():
 
     pair_fn = _tiny_out(pr_mod.pairing)
     times = {}
-    for bs in (64, 128, 1024):
+    for bs in (64, 1024):
         key = f"pairing_batch{bs}"
         if over_deadline(key):
             continue
@@ -314,9 +314,6 @@ def bench_pairing():
     if 64 in times:
         emit("pairing/s (batch 64, incl fetch overhead)",
              round(64 / times[64], 1))
-    if 64 in times and 128 in times:
-        emit("pairing/s (batch 64, marginal)",
-             round(64 / max(times[128] - times[64], 1e-9), 1))
     if 64 in times and 1024 in times:
         emit("pairing_batch1024_s", round(times[1024], 4))
         emit("pairing/s (batch 1024, marginal)",
@@ -328,18 +325,21 @@ def bench_curves():
     from bls12_381_tpu.curves import g2 as G2
     from bls12_381_tpu.fields import fr
 
+    # fused plan-kernel group ops run ~5-20 us/launch at this batch, so the
+    # chain difference must span hundreds of ops to clear the ~25 ms
+    # dispatch noise of the tunneled platform (n2=96 gave t2 <= t1 noise)
     B3 = 1 << 12
     pts = G1.generator((B3,))
     emit("g1_double/s", round(
         B3 / _chain_rate(lambda p, _: G1.CURVE.double(p), pts, jnp.zeros(()),
-                         n1=16, n2=96, key="g1_double")))
+                         n1=32, n2=544, key="g1_double")))
     emit("g1_add/s", round(
         B3 / _chain_rate(lambda p, q: G1.CURVE.add(p, q), pts, pts,
-                         n1=16, n2=96)))
+                         n1=32, n2=544)))
     aff = G1.generator_affine((B3,))
     emit("g1_add_mixed/s", round(
-        B3 / _chain_rate(lambda p, a: G1.CURVE.add_mixed(p, (a[0], a[1])),
-                         pts, aff, n1=16, n2=96)))
+        B3 / _chain_rate(lambda p, a: G1.CURVE.add_mixed(p, a),
+                         pts, aff, n1=32, n2=544)))
 
     B4 = 1 << 10
     ks = fr.from_ints(list(np.random.RandomState(2).randint(1, 1 << 62, B4)))
@@ -353,10 +353,10 @@ def bench_curves():
     if not over_deadline("g2_ops"):
         emit("g2_double/s", round(
             B3 / _chain_rate(lambda p, _: G2.CURVE.double(p), pts2,
-                             jnp.zeros(()), n1=16, n2=96, key="g2_double")))
+                             jnp.zeros(()), n1=32, n2=544, key="g2_double")))
         emit("g2_add/s", round(
             B3 / _chain_rate(lambda p, q: G2.CURVE.add(p, q), pts2, pts2,
-                             n1=16, n2=96)))
+                             n1=32, n2=544)))
     if not over_deadline("g2_scalar_mul"):
         smul2 = _tiny_out(G2.scalar_mul)
         t = _time_fetch(smul2, G2.generator((B4,)), ks, key="g2_scalar_mul")
@@ -435,15 +435,16 @@ def bench_h2c():
 
 
 def _rand_fr(seed, batch):
-    """Random canonical Fr limb tensors WITHOUT the per-int host codec
-    (keeps 2^20-element setup off the 1-core host): top limb masked below
-    q's top limb 0x73ed, so values are < q."""
+    """Random canonical Fr limb tensors generated ON DEVICE (a host randint
+    at 2^24 would cost a ~1 GB tunnel transfer): top limb masked below q's
+    top limb 0x73ed, so values are < q."""
     from bls12_381_tpu import limbs as lb
 
-    rng = np.random.RandomState(seed)
-    a = rng.randint(0, 1 << 16, size=(lb.FR.n_limbs, batch)).astype(np.uint32)
-    a[-1] &= 0x3FFF
-    return jnp.asarray(a)
+    k = jax.random.PRNGKey(seed)
+    a = jax.random.randint(
+        k, (lb.FR.n_limbs, batch), 0, 1 << 16, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    return a.at[-1].set(a[-1] & 0x3FFF)
 
 
 def bench_ntt():
