@@ -347,6 +347,15 @@ def bench_curves():
         smul = _tiny_out(G1.scalar_mul)
         t = _time_fetch(smul, G1.generator((B4,)), ks, key="g1_scalar_mul")
         emit("g1_scalar_mul/s (batch 2^10)", round(B4 / t, 1))
+    if not over_deadline("g1_scalar_mul_12"):
+        # throughput regime: batch 2^10 sits on the dispatch floor (~28 ms
+        # regardless of lookup strategy); 2^12 shows the real rate
+        B5 = 1 << 12
+        ks12 = _rand_fr(7, B5)
+        smul = _tiny_out(G1.scalar_mul)
+        t = _time_fetch(smul, G1.generator((B5,)), ks12,
+                        key="g1_scalar_mul_12")
+        emit("g1_scalar_mul/s (batch 2^12)", round(B5 / t, 1))
 
     # G2 per-op rows (groups.rs:100-167)
     pts2 = G2.generator((B3,))

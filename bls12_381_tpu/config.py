@@ -45,10 +45,14 @@ class Config:
     # chain this many cyclotomic squarings per plan-kernel launch in the
     # final-exp pow-by-|z| runs (1 disables chaining)
     cyclo_fuse: int = int(os.environ.get("BLS12_381_TPU_CYCLO_FUSE", "4"))
-    # windowed scalar-mul table lookup: "onehot" (signed digits, one-hot
-    # multiply-accumulate), "tree" (signed digits, masked-select tree), or
-    # "unsigned" (round-3 path: unsigned digits, 2^w-leaf select tree)
-    smul_lookup: str = os.environ.get("BLS12_381_TPU_SMUL_LOOKUP", "onehot")
+    # windowed scalar-mul table lookup: "tree" (signed digits, masked-select
+    # tree over 2^(w-1)+1 entries), "onehot" (signed digits, one-hot
+    # multiply-accumulate), or "unsigned" (round-3 path: unsigned digits,
+    # 2^w-leaf select tree).  Measured on TPU v5e at batch 2^10/2^12
+    # (2026-08-19): tree 35.6k/99.5k per s, onehot 34.8k/98.5k, unsigned
+    # 26.8k/99.7k — signed-tree wins the launch-bound regime and ties the
+    # throughput regime, with the cheapest compile.
+    smul_lookup: str = os.environ.get("BLS12_381_TPU_SMUL_LOOKUP", "tree")
     # default mesh axis name for parallel/*
     mesh_axis: str = os.environ.get("BLS12_381_TPU_MESH_AXIS", "x")
     # persistent compile cache directory ("" disables)
