@@ -238,23 +238,26 @@ def bench_fields():
     a = _rand_fp(rng, lb.FP.n_limbs, B)
     b = _rand_fp(rng, lb.FP.n_limbs, B)
 
+    # chain spans sized so the marginal work is >= ~50 ms — the tunneled
+    # platform has ~25 ms dispatch jitter, and shorter spans made the cheap
+    # rows swing 4x run-to-run (round-3 weak #4)
     dt = _chain_rate(lambda x, y: lb.mont_mul(lb.FP, x, y), a, b,
-                     key="fp_mul")
+                     n1=64, n2=832, key="fp_mul")
     headline = B / dt
     emit("fp_mul/s", round(headline))
     emit("fp_sqr/s", round(
-        B / _chain_rate(lambda x, _: lb.mont_sqr(lb.FP, x), a, b)))
-    # adds are so cheap per-op that they need a much longer chain for a
-    # stable difference (round-3 weak #4: 4.5x run-to-run spread)
+        B / _chain_rate(lambda x, _: lb.mont_sqr(lb.FP, x), a, b,
+                        n1=64, n2=832)))
     emit("fp_add/s", round(
         B / _chain_rate(lambda x, y: lb.add(lb.FP, x, y), a, b,
-                        n1=64, n2=576)))
+                        n1=64, n2=1600)))
 
     B2 = 1 << 14
     rng = np.random.RandomState(1)
     x2 = (_rand_fp(rng, lb.FP.n_limbs, B2), _rand_fp(rng, lb.FP.n_limbs, B2))
     y2 = (_rand_fp(rng, lb.FP.n_limbs, B2), _rand_fp(rng, lb.FP.n_limbs, B2))
-    emit("fp2_mul/s", round(B2 / _chain_rate(tw.fp2_mul, x2, y2)))
+    emit("fp2_mul/s", round(B2 / _chain_rate(tw.fp2_mul, x2, y2,
+                                             n1=64, n2=576)))
     return headline
 
 
