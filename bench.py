@@ -46,7 +46,7 @@ import sys
 import time
 
 _T0 = time.monotonic()
-DEADLINE_S = float(os.environ.get("BLS12_381_TPU_BENCH_DEADLINE", "900"))
+DEADLINE_S = float(os.environ.get("BLS12_381_TPU_BENCH_DEADLINE", "600"))
 
 # Persistent compile cache: bench runs in a fresh process (no conftest).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -150,7 +150,7 @@ def _start_watchdog():
     import threading
 
     def watch():
-        grace = 90.0
+        grace = 60.0
         remaining = DEADLINE_S + grace - elapsed()
         while remaining > 0:
             time.sleep(min(remaining, 5.0))
@@ -369,17 +369,28 @@ def bench_curves():
         emit("g2_add/s", round(
             B3 / _chain_rate(lambda p, q: G2.CURVE.add(p, q), pts2, pts2,
                              n1=32, n2=544)))
+        aff2 = G2.generator_affine((B3,))
+        emit("g2_add_mixed/s", round(
+            B3 / _chain_rate(lambda p, a: G2.add_mixed(p, a),
+                             pts2, aff2, n1=32, n2=544)))
     if not over_deadline("g2_scalar_mul"):
         smul2 = _tiny_out(G2.scalar_mul)
         t = _time_fetch(smul2, G2.generator((B4,)), ks, key="g2_scalar_mul")
         emit("g2_scalar_mul/s (batch 2^10)", round(B4 / t, 1))
 
-    # on-curve / eq / batch_normalize n=10000 (groups.rs:31-98)
+    # on-curve / eq / subgroup check / batch_normalize (groups.rs:31-98)
     if not over_deadline("g1_small_ops"):
         t = _time_fetch(_tiny_out(G1.is_on_curve), pts, key="g1_is_on_curve")
         emit("g1_is_on_curve/s", round(B3 / t, 1))
         t = _time_fetch(_tiny_out(G1.eq), pts, pts, key="g1_eq")
         emit("g1_eq/s", round(B3 / t, 1))
+    if not over_deadline("subgroup_checks"):
+        t = _time_fetch(_tiny_out(G1.is_torsion_free), pts,
+                        key="g1_subgroup_check")
+        emit("g1_subgroup_check/s", round(B3 / t, 1))
+        t = _time_fetch(_tiny_out(G2.is_torsion_free), pts2,
+                        key="g2_subgroup_check")
+        emit("g2_subgroup_check/s", round(B3 / t, 1))
     if not over_deadline("batch_normalize"):
         pn = G1.generator((10000,))
         t = _time_fetch(_tiny_out(G1.batch_normalize), pn,
@@ -444,6 +455,15 @@ def bench_h2c():
             lambda m: h2c.hash_to_curve_g2(m, b"BENCH-DST_", expand="device")),
         msgs, key="h2c_g2")
     emit("hash_to_curve_g2/s (batch 256)", round(256 / t, 1))
+    # NU variants (hash_to_curve.rs:18-27, 45-54): one field element, no add
+    if over_deadline("encode_g1"):
+        return
+    t = _time_fetch(
+        _tiny_out(
+            lambda m: h2c.encode_to_curve_g1(m, b"BENCH-DST_",
+                                             expand="device")),
+        msgs, key="encode_g1")
+    emit("encode_to_curve_g1/s (batch 256)", round(256 / t, 1))
 
 
 def _rand_fr(seed, batch):
