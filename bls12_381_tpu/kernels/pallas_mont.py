@@ -25,8 +25,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import limbvec as lv
+
 MASK = np.uint32(0xFFFF)
 LIMB_BITS = 16
+
+
+def _const_col(vals) -> jnp.ndarray:
+    """[L, 1] uint32 modulus column.  Pallas kernels cannot capture array
+    constants, so the column is passed as an extra kernel INPUT with a
+    block-constant BlockSpec (fetched to VMEM once per block)."""
+    return jnp.asarray(np.asarray(vals, np.uint32).reshape(-1, 1))
+
+
+def _col_spec(n_rows: int, n_grid: int = 1):
+    """Block-constant [n_rows, 1] VMEM spec for the modulus column."""
+    if n_grid == 1:
+        return pl.BlockSpec((n_rows, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((n_rows, 1), lambda i, g: (0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _sop_kernel(a_ref, b_ref, p_ref, out_ref, acc_ref, *, n_limbs, n_terms,
@@ -75,83 +93,9 @@ def _sop_kernel(a_ref, b_ref, p_ref, out_ref, acc_ref, *, n_limbs, n_terms,
     out_ref[:] = jnp.where(take, diff, t_out[:L])
 
 
-def _repack_16_to_12(rows, n12):
-    """24 16-bit limb registers -> n12 12-bit limb registers ([bb] each).
-
-    Offsets 12k mod 16 cycle through {0, 12, 8, 4}: a 12-bit limb straddles
-    at most two 16-bit rows.
-    """
-    M12 = np.uint32(0xFFF)
-    out = []
-    for k in range(n12):
-        bit = 12 * k
-        i0, off = bit // 16, bit % 16
-        v = rows[i0] >> np.uint32(off) if off else rows[i0]
-        if off > 4 and i0 + 1 < len(rows):
-            v = v | (rows[i0 + 1] << np.uint32(16 - off))
-        out.append(v & M12)
-    return out
-
-
-def _repack_12_to_16(limbs12, n16):
-    """n12 12-bit limb registers -> n16 16-bit limb registers.
-
-    Offsets 16i mod 12 are always in {0, 4, 8}: a 16-bit row is covered by
-    exactly two 12-bit limbs.
-    """
-    M16 = np.uint32(0xFFFF)
-    out = []
-    for i in range(n16):
-        bit = 16 * i
-        j0, off = bit // 12, bit % 12
-        v = limbs12[j0] >> np.uint32(off) if off else limbs12[j0]
-        if j0 + 1 < len(limbs12):
-            v = v | (limbs12[j0 + 1] << np.uint32(12 - off))
-        out.append(v & M16)
-    return out
-
-
-def _r12_reduce_and_pack(acc, *, l12, inv12, p12, n16):
-    """Shared tail for the radix-12 kernels: Montgomery rounds over 12-bit
-    columns, carry ripple, conditional subtract, repack to 16-bit rows.
-
-    acc: list of 2*l12-1 lazy columns ([bb] uint32 registers).
-    Returns the n16 result rows as a list of registers.
-    """
-    M12 = np.uint32(0xFFF)
-    inv = np.uint32(inv12)
-    acc = acc + [jnp.zeros_like(acc[0])]  # headroom column 2*l12-1
-    for k in range(l12):
-        m = (acc[k] * inv) & M12
-        for j in range(l12):
-            acc[k + j] = acc[k + j] + m * np.uint32(p12[j])
-        acc[k + 1] = acc[k + 1] + (acc[k] >> np.uint32(12))
-
-    # carry ripple over columns l12 .. 2*l12-1 => l12 clean limbs (value < 2p
-    # fits l12 * 12 = 384 bits)
-    carry = jnp.zeros_like(acc[0])
-    t_out = []
-    for k in range(l12, 2 * l12):
-        v = acc[k] + carry
-        t_out.append(v & M12)
-        carry = v >> np.uint32(12)
-
-    # conditional subtract p (12-bit ripple borrow)
-    borrow = jnp.zeros_like(acc[0])
-    diffs = []
-    for i in range(l12):
-        v = t_out[i] + np.uint32(1 << 12) - np.uint32(p12[i]) - borrow
-        diffs.append(v & M12)
-        borrow = np.uint32(1) - (v >> np.uint32(12))
-    final = [
-        jnp.where(borrow == 0, d, t) for d, t in zip(diffs, t_out)
-    ]
-    return _repack_12_to_16(final, n16)
-
-
-def _sop_kernel_r12(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv12,
-                    p12, l12):
-    """Radix-2^12 sum-of-products kernel.
+def _sop_kernel_r12(a_ref, b_ref, p12_ref, out_ref, *, n_limbs, n_terms,
+                    inv12, l12):
+    """Radix-2^12 sum-of-products kernel (vectorized: kernels/limbvec.py).
 
     Operands arrive as 16-bit limbs and are repacked to 12-bit limbs in
     registers.  With 12-bit digits every product is < 2^24, so schoolbook
@@ -162,106 +106,41 @@ def _sop_kernel_r12(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv12,
     """
     L, T = n_limbs, n_terms
     assert T <= 6, "radix-12 raw accumulation bound"
-    bb = out_ref.shape[-1]
-    zero = jnp.zeros((bb,), jnp.uint32)
-    acc = [zero] * (2 * l12 - 1)
-
-    for t in range(T):
-        a12 = _repack_16_to_12([a_ref[t, i] for i in range(L)], l12)
-        b12 = _repack_16_to_12([b_ref[t, i] for i in range(L)], l12)
-        for i in range(l12):
-            ai = a12[i]
-            for j in range(l12):
-                acc[i + j] = acc[i + j] + ai * b12[j]
-
-    rows = _r12_reduce_and_pack(acc, l12=l12, inv12=inv12, p12=p12, n16=L)
-    out_ref[:] = jnp.stack(rows)
+    a12 = lv.repack_16_to_12(a_ref[...], l12)  # [T, l12, bb]
+    b12 = lv.repack_16_to_12(b_ref[...], l12)
+    out_ref[:] = lv.mont_sop_12(a12, b12, inv12, p12_ref[...], L)
 
 
-def _sqr_kernel_r12(a_ref, out_ref, *, n_limbs, n_groups, inv12, p12, l12):
+def _sqr_kernel_r12(a_ref, p12_ref, out_ref, *, n_limbs, n_groups, inv12,
+                    l12):
     """Radix-2^12 squaring kernel: off-diagonal products computed once and
     doubled (products < 2^24 so doubling cannot overflow).  Column budget:
     <= l12 phase-1 contributions + l12 reduction products, same bound as T=1.
     """
     L, G = n_limbs, n_groups
-    bb = out_ref.shape[-1]
+    p12c = p12_ref[...]
     groups = []
     for g in range(G):
-        a12 = _repack_16_to_12([a_ref[g, i] for i in range(L)], l12)
-        zero = jnp.zeros((bb,), jnp.uint32)
-        acc = [zero] * (2 * l12 - 1)
-        for i in range(l12):
-            sq = a12[i] * a12[i]
-            acc[2 * i] = acc[2 * i] + sq
-            for j in range(i + 1, l12):
-                pr = a12[i] * a12[j]
-                acc[i + j] = acc[i + j] + pr + pr
-        rows = _r12_reduce_and_pack(
-            acc, l12=l12, inv12=inv12, p12=p12, n16=L
-        )
-        groups.append(jnp.stack(rows))
+        a12 = lv.repack_16_to_12(a_ref[g], l12)
+        acc = lv.sqr_columns(a12)
+        acc = lv.mont_reduce_12(acc, inv12, p12c)
+        groups.append(lv.finalize_12(acc, p12c, L))
     out_ref[:] = jnp.stack(groups)
 
 
-def _sop_kernel_reg(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv16,
-                    p_limbs):
-    """Register-resident variant: the 2L+1 lazy columns live as SSA values
-    (a Python list) instead of a VMEM scratch ref, so there are no
-    misaligned-sublane read-modify-writes — Mosaic keeps the accumulators in
-    vregs and the kernel is pure VPU ALU work.
+def _sop_kernel_reg(a_ref, b_ref, p16_ref, out_ref, *, n_limbs, n_terms,
+                    inv16):
+    """16-bit register variant for ANY modulus width (the production route
+    for Fr): vectorized lazy lo/hi column accumulation (limbvec.mont_sop_16).
 
     Column bounds: each column absorbs <= 2*L*T 16-bit halves plus L 16-bit
     halves from the reduction, so values stay far below 2^32 (see limbs.py).
     """
-    L, T = n_limbs, n_terms
-    bb = out_ref.shape[-1]
-    zero = jnp.zeros((bb,), jnp.uint32)
-    acc = [zero] * (2 * L + 1)
-
-    # phase 1: schoolbook columns, products split lazily
-    for t in range(T):
-        b_t = [b_ref[t, j] for j in range(L)]
-        for i in range(L):
-            ai = a_ref[t, i]
-            for j in range(L):
-                prod = ai * b_t[j]
-                acc[i + j] = acc[i + j] + (prod & MASK)
-                acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
-
-    # phase 2: L Montgomery rounds with scalar p limbs
-    inv = np.uint32(inv16)
-    for k in range(L):
-        m = (acc[k] * inv) & MASK
-        for j in range(L):
-            pj = np.uint32(p_limbs[j])
-            mp = m * pj
-            acc[k + j] = acc[k + j] + (mp & MASK)
-            acc[k + j + 1] = acc[k + j + 1] + (mp >> LIMB_BITS)
-        acc[k + 1] = acc[k + 1] + (acc[k] >> LIMB_BITS)
-
-    # phase 3: carry ripple over the top L+1 columns (value < 2p)
-    carry = zero
-    t_out = []
-    for k in range(L, 2 * L + 1):
-        v = acc[k] + carry
-        t_out.append(v & MASK)
-        carry = v >> LIMB_BITS
-
-    # conditional subtract p over L+1 limbs
-    borrow = zero
-    diffs = []
-    for i in range(L + 1):
-        p_i = np.uint32(p_limbs[i]) if i < L else np.uint32(0)
-        v = t_out[i] + np.uint32(1 << LIMB_BITS) - p_i - borrow
-        diffs.append(v & MASK)
-        borrow = np.uint32(1) - (v >> LIMB_BITS)
-    take = (borrow == 0)[None, :]
-    diff = jnp.stack(diffs[:L])
-    out_ref[:] = jnp.where(take, diff, jnp.stack(t_out[:L]))
+    out_ref[:] = lv.mont_sop_16(a_ref[...], b_ref[...], inv16, p16_ref[...])
 
 
-def _fold_planned_kernel_r12(ia_ref, ib_ref, ops_ref, out_ref, *, n_limbs,
-                             n_terms, inv12, p12, l12):
+def _fold_planned_kernel_r12(ia_ref, ib_ref, ops_ref, p12_ref, out_ref, *,
+                             n_limbs, n_terms, inv12, l12):
     """Uniform planned-fold kernel: out[g] = sum_t ops[ia[g,t]] * ops[ib[g,t]].
 
     Grid = (batch_blocks, G); the operand stack [K, L, bb] is block-constant
@@ -272,21 +151,12 @@ def _fold_planned_kernel_r12(ia_ref, ib_ref, ops_ref, out_ref, *, n_limbs,
     ia/ib live in SMEM ([G, T] int32 scalars).
     """
     L = n_limbs
-    bb = out_ref.shape[-1]
     g = pl.program_id(1)
-    zero = jnp.zeros((bb,), jnp.uint32)
-    acc = [zero] * (2 * l12 - 1)
-    for t in range(n_terms):
-        ia = ia_ref[g, t]
-        ib = ib_ref[g, t]
-        a12 = _repack_16_to_12([ops_ref[ia, i] for i in range(L)], l12)
-        b12 = _repack_16_to_12([ops_ref[ib, i] for i in range(L)], l12)
-        for i in range(l12):
-            ai = a12[i]
-            for j in range(l12):
-                acc[i + j] = acc[i + j] + ai * b12[j]
-    rows = _r12_reduce_and_pack(acc, l12=l12, inv12=inv12, p12=p12, n16=L)
-    out_ref[0] = jnp.stack(rows)
+    a16 = jnp.stack([ops_ref[ia_ref[g, t]] for t in range(n_terms)])
+    b16 = jnp.stack([ops_ref[ib_ref[g, t]] for t in range(n_terms)])
+    a12 = lv.repack_16_to_12(a16, l12)  # [T, l12, bb]
+    b12 = lv.repack_16_to_12(b16, l12)
+    out_ref[0] = lv.mont_sop_12(a12, b12, inv12, p12_ref[...], L)
 
 
 @functools.partial(
@@ -314,7 +184,7 @@ def fold_planned_pallas(ops_stack, ia, ib, *, n_limbs, inv16, p_limbs,
     bp = b + pad
     kernel = functools.partial(
         _fold_planned_kernel_r12, n_limbs=l, n_terms=n_terms, inv12=inv12,
-        p12=p12, l12=l12,
+        l12=l12,
     )
     out = pl.pallas_call(
         kernel,
@@ -326,110 +196,31 @@ def fold_planned_pallas(ops_stack, ia, ib, *, n_limbs, inv16, p_limbs,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((k, l, bb), lambda i, g: (0, 0, i),
                          memory_space=pltpu.VMEM),
+            _col_spec(l12, n_grid=2),
         ],
         out_specs=pl.BlockSpec((1, l, bb), lambda i, g: (g, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gcount, l, bp), jnp.uint32),
         interpret=interpret,
-    )(ia, ib, ops_stack)
+    )(ia, ib, ops_stack, _const_col(p12))
     return out[:, :, :b] if pad else out
 
 
-def _mont_mul_rows_16(b_rows, w_rows, *, n_limbs, inv16, p16, zero):
-    """In-kernel 16-bit-limb Montgomery product of two row lists -> canonical
-    row list (the _sop_kernel_reg pipeline as a reusable helper; works for
-    ANY modulus, unlike the radix-12 path)."""
-    L = n_limbs
-    acc = [zero] * (2 * L + 1)
-    for i in range(L):
-        bi = b_rows[i]
-        for j in range(L):
-            prod = bi * w_rows[j]
-            acc[i + j] = acc[i + j] + (prod & MASK)
-            acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
-    inv = np.uint32(inv16)
-    for k in range(L):
-        m = (acc[k] * inv) & MASK
-        for j in range(L):
-            mp = m * p16[j]
-            acc[k + j] = acc[k + j] + (mp & MASK)
-            acc[k + j + 1] = acc[k + j + 1] + (mp >> LIMB_BITS)
-        acc[k + 1] = acc[k + 1] + (acc[k] >> LIMB_BITS)
-    carry = zero
-    t_out = []
-    for k in range(L, 2 * L + 1):
-        v = acc[k] + carry
-        t_out.append(v & MASK)
-        carry = v >> LIMB_BITS
-    # conditional subtract p over L+1 limbs (value < 2p)
-    borrow = zero
-    diffs = []
-    for i in range(L + 1):
-        p_i = p16[i] if i < L else np.uint32(0)
-        v = t_out[i] + np.uint32(1 << LIMB_BITS) - p_i - borrow
-        diffs.append(v & MASK)
-        borrow = np.uint32(1) - (v >> LIMB_BITS)
-    take = borrow == 0
-    return [jnp.where(take, d, t) for d, t in zip(diffs[:L], t_out[:L])]
-
-
-def _butterfly_kernel_16(a_ref, b_ref, w_ref, out_ref, *, n_limbs, inv16,
-                         p16):
+def _butterfly_kernel_16(a_ref, b_ref, w_ref, p16_ref, out_ref, *, n_limbs,
+                         inv16):
     """Fused NTT butterfly: t = b*w (Montgomery); lo = a+t; hi = a-t.
 
     One VMEM pass instead of three separate XLA subgraphs (mul + add + sub,
     each with its own carry-propagation network and HBM round trip) — the
     radix-2 NTT stage becomes compute-bound on the multiply.  16-bit limb
-    pipeline (Fr's 256-bit width is not radix-12 compatible).
-    out_ref: [2, L, bb] = (lo, hi).
+    pipeline (Fr's 256-bit width is not radix-12 compatible); vectorized
+    per kernels/limbvec.py.  out_ref: [2, L, bb] = (lo, hi).
     """
-    L = n_limbs
-    bb = out_ref.shape[-1]
-    zero = jnp.zeros((bb,), jnp.uint32)
-
-    t_rows = _mont_mul_rows_16(
-        [b_ref[i] for i in range(L)],
-        [w_ref[i] for i in range(L)],
-        n_limbs=L, inv16=inv16, p16=p16, zero=zero,
-    )
-    a_rows = [a_ref[i] for i in range(L)]
-
-    # lo = a + t, conditionally minus p (sum < 2p)
-    carry = zero
-    s_rows = []
-    for i in range(L):
-        v = a_rows[i] + t_rows[i] + carry
-        s_rows.append(v & MASK)
-        carry = v >> LIMB_BITS
-    borrow = zero
-    d_rows = []
-    for i in range(L):
-        v = s_rows[i] + np.uint32(1 << LIMB_BITS) - p16[i] - borrow
-        d_rows.append(v & MASK)
-        borrow = np.uint32(1) - (v >> LIMB_BITS)
-    # take the subtracted value if (carry:borrowless) sum >= p:
-    # sum = carry*2^384 + s; sum - p = ... keep d if no net borrow
-    take_d = ((carry + np.uint32(1) - borrow) > 0)[None, :]
-    lo = jnp.where(take_d, jnp.stack(d_rows), jnp.stack(s_rows))
-
-    # hi = a - t, plus p on borrow
-    borrow = zero
-    e_rows = []
-    for i in range(L):
-        v = a_rows[i] + np.uint32(1 << LIMB_BITS) - t_rows[i] - borrow
-        e_rows.append(v & MASK)
-        borrow = np.uint32(1) - (v >> LIMB_BITS)
-    carry = zero
-    f_rows = []
-    for i in range(L):
-        v = e_rows[i] + p16[i] + carry
-        f_rows.append(v & MASK)
-        carry = v >> LIMB_BITS
-    add_p = (borrow > 0)[None, :]
-    hi = jnp.where(add_p, jnp.stack(f_rows), jnp.stack(e_rows))
-
-    out_ref[0] = lo
-    out_ref[1] = hi
+    p16c = p16_ref[...]
+    t = lv.mont_mul_16(b_ref[...], w_ref[...], inv16, p16c)
+    a = a_ref[...]
+    out_ref[0] = lv.mod_add_16(a, t, p16c)
+    out_ref[1] = lv.mod_sub_16(a, t, p16c)
 
 
 @functools.partial(
@@ -455,20 +246,17 @@ def butterfly_pallas(a, b, w, *, n_limbs, inv16, p_limbs, block_b=4096,
         b = jnp.pad(b, ((0, 0), (0, pad)))
         w = jnp.pad(w, ((0, 0), (0, pad)))
     bp = bsz + pad
-    kernel = functools.partial(
-        _butterfly_kernel_16, n_limbs=l, inv16=inv16,
-        p16=tuple(np.uint32(x) for x in p_limbs),
-    )
+    kernel = functools.partial(_butterfly_kernel_16, n_limbs=l, inv16=inv16)
     spec = pl.BlockSpec((l, bb), lambda i: (0, i), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, spec, spec, _col_spec(l)],
         out_specs=pl.BlockSpec((2, l, bb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, l, bp), jnp.uint32),
         interpret=interpret,
-    )(a, b, w)
+    )(a, b, w, _const_col(p_limbs))
     return out[:, :, :bsz] if pad else out
 
 
@@ -527,20 +315,20 @@ def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
     if r12 is not None and t <= 6:
         l12, inv12, p12 = r12
         kernel = functools.partial(
-            _sop_kernel_r12, n_limbs=l, n_terms=t, inv12=inv12, p12=p12,
-            l12=l12,
+            _sop_kernel_r12, n_limbs=l, n_terms=t, inv12=inv12, l12=l12,
         )
         out = pl.pallas_call(
-            kernel, in_specs=op_specs, out_specs=out_spec, **common
-        )(a_stack, b_stack)
+            kernel, in_specs=op_specs + [_col_spec(l12)],
+            out_specs=out_spec, **common
+        )(a_stack, b_stack, _const_col(p12))
     elif version >= 2:
         kernel = functools.partial(
             _sop_kernel_reg, n_limbs=l, n_terms=t, inv16=inv16,
-            p_limbs=tuple(int(x) for x in p_limbs),
         )
         out = pl.pallas_call(
-            kernel, in_specs=op_specs, out_specs=out_spec, **common
-        )(a_stack, b_stack)
+            kernel, in_specs=op_specs + [_col_spec(l)],
+            out_specs=out_spec, **common
+        )(a_stack, b_stack, _const_col(p_limbs))
     else:
         kernel = functools.partial(
             _sop_kernel, n_limbs=l, n_terms=t, inv16=inv16
@@ -596,18 +384,19 @@ def sqr_pallas(a_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
         a_stack = jnp.pad(a_stack, ((0, 0), (0, 0), (0, pad)))
     bp = b + pad
     kernel = functools.partial(
-        _sqr_kernel_r12, n_limbs=l, n_groups=g, inv12=inv12, p12=p12, l12=l12
+        _sqr_kernel_r12, n_limbs=l, n_groups=g, inv12=inv12, l12=l12
     )
     out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
         in_specs=[
             pl.BlockSpec((g, l, bb), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM)
+                         memory_space=pltpu.VMEM),
+            _col_spec(l12),
         ],
         out_specs=pl.BlockSpec((g, l, bb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, l, bp), jnp.uint32),
         interpret=interpret,
-    )(a_stack)
+    )(a_stack, _const_col(p12))
     return out[:, :, :b] if pad else out

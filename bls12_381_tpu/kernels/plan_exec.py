@@ -22,13 +22,12 @@ DAG node ops:
                per group by the radix-12 column bound; builders auto-chunk)
 
 Plans are built symbolically by the fp2/fp6/fp12 helpers below, hashed by
-value (hash-consing via frozen dataclasses), and compiled once per
+value (hash-consing via an intern table), and compiled once per
 (plan, shapes) by jax.jit.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -37,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mont import _r12_params, _repack_16_to_12, _r12_reduce_and_pack
+from .pallas_mont import _r12_params
 
 M16 = np.uint32(0xFFFF)
 
@@ -47,34 +46,61 @@ M16 = np.uint32(0xFFFF)
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass(frozen=True)
 class Node:
-    op: str          # "in" | "add" | "sub" | "neg" | "sop"
-    args: tuple      # in: (k,); add/sub: (Node, Node); neg: (Node,);
-    #                # sop: ((Node, Node), ...)
+    """Interned DAG node: structural equality == identity.
+
+    A frozen dataclass would recompute its hash RECURSIVELY on every dict
+    lookup — for the deep chained plans (cyclo_k) that made plan
+    construction and kernel tracing quadratic-plus (measured: building
+    cyclo_k(8) alone exceeded 100 s).  Interning through _mk makes every
+    structurally-equal node the SAME object, so the default identity
+    hash/eq are O(1) and correct."""
+
+    __slots__ = ("op", "args")
+
+    def __init__(self, op: str, args: tuple):
+        self.op = op      # "in" | "add" | "sub" | "neg" | "sop"
+        self.args = args  # in: (k,); add/sub: (Node, Node); neg: (Node,);
+        #                 # sop: ((Node, Node), ...)
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"Node({self.op}, {self.args!r})"
+
+
+_INTERN: dict = {}
+
+
+def _mk(op: str, args: tuple) -> Node:
+    # args contain only ints or already-interned Nodes, so the tuple key
+    # hashes/compares by identity in O(len(args))
+    key = (op, args)
+    n = _INTERN.get(key)
+    if n is None:
+        n = _INTERN[key] = Node(op, args)
+    return n
 
 
 def inp(k: int) -> Node:
-    return Node("in", (k,))
+    return _mk("in", (k,))
 
 
 def add(a: Node, b: Node) -> Node:
-    return Node("add", (a, b))
+    return _mk("add", (a, b))
 
 
 def sub(a: Node, b: Node) -> Node:
-    return Node("sub", (a, b))
+    return _mk("sub", (a, b))
 
 
 def neg(a: Node) -> Node:
-    return Node("neg", (a,))
+    return _mk("neg", (a,))
 
 
 def sop(terms) -> Node:
     """Sum of products with automatic chunking to the T <= 6 kernel bound."""
     terms = tuple(terms)
     if len(terms) <= 6:
-        return Node("sop", terms)
+        return _mk("sop", terms)
     parts = [sop(terms[i: i + 6]) for i in range(0, len(terms), 6)]
     acc = parts[0]
     for p in parts[1:]:
@@ -572,85 +598,88 @@ def g2_add_mixed_plan():
 # ---------------------------------------------------------------------------
 
 
-def _mod_add_rows(a, b, p16):
-    """Canonical (a + b) mod p over 16-bit limb registers (ripple carry +
-    conditional subtract)."""
-    L = len(a)
-    one = np.uint32(1)
-    c = jnp.zeros_like(a[0])
-    s = []
-    for i in range(L):
-        v = a[i] + b[i] + c
-        s.append(v & M16)
-        c = v >> np.uint32(16)
-    # conditional subtract: value = c * 2^384 + s < 2p
-    br = jnp.zeros_like(a[0])
-    d = []
-    for i in range(L):
-        v = s[i] + np.uint32(0x10000) - np.uint32(p16[i]) - br
-        d.append(v & M16)
-        br = one - (v >> np.uint32(16))
-    take = (c != 0) | (br == 0)
-    return [jnp.where(take, di, si) for di, si in zip(d, s)]
+def _plan_schedule(outputs):
+    """Level-batched schedule: group independent same-op nodes so the
+    kernel evaluates each group as ONE vectorized limbvec call.
 
+    depth(n) = 1 + max(depth(children)); nodes sharing (depth, op, T) are
+    mutually independent by construction.  Returns the group list in
+    dependency order."""
+    depth = {}
 
-def _mod_sub_rows(a, b, p16):
-    """Canonical (a - b) mod p: a + (p - b), then conditional subtract."""
-    L = len(a)
-    one = np.uint32(1)
-    br = jnp.zeros_like(a[0])
-    pb = []
-    for i in range(L):
-        v = np.uint32(p16[i]) + np.uint32(0x10000) - b[i] - br
-        pb.append(v & M16)
-        br = one - (v >> np.uint32(16))
-    return _mod_add_rows(a, pb, p16)
-
-
-def _plan_kernel(ops_ref, out_ref, *, outputs, n_limbs, inv12, p12, p16,
-                 l12):
-    L = n_limbs
-    zero_rows = None
-    cache16 = {}
-    cache12 = {}
-
-    def rows(n):
-        r = cache16.get(n)
-        if r is not None:
-            return r
+    def visit(n):
+        d = depth.get(n)
+        if d is not None:
+            return d
         if n.op == "in":
-            r = [ops_ref[n.args[0], i] for i in range(L)]
-        elif n.op == "add":
-            r = _mod_add_rows(rows(n.args[0]), rows(n.args[1]), p16)
-        elif n.op == "sub":
-            r = _mod_sub_rows(rows(n.args[0]), rows(n.args[1]), p16)
-        elif n.op == "neg":
-            nonlocal zero_rows
-            if zero_rows is None:
-                zero_rows = [jnp.zeros_like(ops_ref[0, 0])] * L
-            r = _mod_sub_rows(zero_rows, rows(n.args[0]), p16)
+            d = 0
         elif n.op == "sop":
-            acc = [jnp.zeros_like(ops_ref[0, 0])] * (2 * l12 - 1)
-            for (na, nb) in n.args:
-                a12, b12 = rows12(na), rows12(nb)
-                for i in range(l12):
-                    ai = a12[i]
-                    for j in range(l12):
-                        acc[i + j] = acc[i + j] + ai * b12[j]
-            r = _r12_reduce_and_pack(
-                acc, l12=l12, inv12=inv12, p12=p12, n16=L)
+            d = 1 + max(max(visit(a), visit(b)) for a, b in n.args)
+        else:
+            d = 1 + max(visit(c) for c in n.args)
+        depth[n] = d
+        return d
+
+    for o in outputs:
+        visit(o)
+    groups = {}
+    for n, d in depth.items():
+        if n.op == "in":
+            continue
+        key = (d, n.op, len(n.args) if n.op == "sop" else 0)
+        groups.setdefault(key, []).append(n)
+    return [groups[k] for k in sorted(groups)]
+
+
+def _plan_kernel(ops_ref, p16_ref, p12_ref, out_ref, *, outputs, n_limbs,
+                 inv12, l12):
+    """DAG evaluator over VECTOR values ([L, bb] uint32 arrays; see
+    kernels/limbvec.py), one vectorized limbvec call per GROUP of
+    independent same-op nodes (level-batched schedule).  Each group traces
+    a constant number of whole-row ops instead of one op per limb per node
+    — the fused Miller/final-exp plans went from minutes of client-side
+    tracing to seconds, and the batched rows use the VPU sublanes better
+    than lone [24, bb] values."""
+    from . import limbvec as lvec
+
+    L = n_limbs
+    p16c = p16_ref[...]
+    p12c = p12_ref[...]
+    val = {}
+
+    def v(n):
+        r = val.get(n)
+        if r is None:  # only "in" nodes are unseen in dependency order
+            r = val[n] = ops_ref[n.args[0]]
+        return r
+
+    for group in _plan_schedule(outputs):
+        op = group[0].op
+        if op == "sop":
+            a16 = jnp.stack(
+                [jnp.stack([v(na) for na, _ in n.args]) for n in group])
+            b16 = jnp.stack(
+                [jnp.stack([v(nb) for _, nb in n.args]) for n in group])
+            r = lvec.mont_sop_12(
+                lvec.repack_16_to_12(a16, l12),
+                lvec.repack_16_to_12(b16, l12), inv12, p12c, L)
+        elif op == "add":
+            r = lvec.mod_add_16(
+                jnp.stack([v(n.args[0]) for n in group]),
+                jnp.stack([v(n.args[1]) for n in group]), p16c)
+        elif op == "sub":
+            r = lvec.mod_sub_16(
+                jnp.stack([v(n.args[0]) for n in group]),
+                jnp.stack([v(n.args[1]) for n in group]), p16c)
+        elif op == "neg":
+            r = lvec.mod_neg_16(
+                jnp.stack([v(n.args[0]) for n in group]), p16c)
         else:  # pragma: no cover
-            raise ValueError(n.op)
-        cache16[n] = r
-        return r
+            raise ValueError(op)
+        for i, n in enumerate(group):
+            val[n] = r[i]
 
-    def rows12(n):
-        r = cache12.get(n)
-        if r is None:
-            r = cache12[n] = _repack_16_to_12(rows(n), l12)
-        return r
-
-    out_ref[:] = jnp.stack([jnp.stack(rows(o)) for o in outputs])
+    out_ref[:] = jnp.stack([v(o) for o in outputs])
 
 
 @functools.partial(
@@ -679,21 +708,25 @@ def plan_exec_pallas(ops_stack, *, outputs, n_limbs, inv16, p_limbs,
         ops_stack = jnp.pad(ops_stack, ((0, 0), (0, 0), (0, pad)))
     bp = b + pad
     kernel = functools.partial(
-        _plan_kernel, outputs=outputs, n_limbs=l, inv12=inv12, p12=p12,
-        p16=tuple(int(x) for x in p_limbs), l12=l12,
+        _plan_kernel, outputs=outputs, n_limbs=l, inv12=inv12, l12=l12,
     )
+    p16c = jnp.asarray(np.asarray(p_limbs, np.uint32).reshape(-1, 1))
+    p12c = jnp.asarray(np.asarray(p12, np.uint32).reshape(-1, 1))
+    col = lambda rows: pl.BlockSpec(  # noqa: E731 - block-constant column
+        (rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
         in_specs=[
             pl.BlockSpec((k, l, bb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
+            col(l), col(l12),
         ],
         out_specs=pl.BlockSpec((n_out, l, bb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, l, bp), jnp.uint32),
         interpret=interpret,
-    )(ops_stack)
+    )(ops_stack, p16c, p12c)
     return out[:, :, :b] if pad else out
 
 
