@@ -168,6 +168,28 @@ def _start_watchdog():
 _start_watchdog()
 
 
+def _start_device_warmup():
+    """The tunneled platform charges a large, variable one-time cost
+    (observed 25-255 s) to the FIRST program execution of the process —
+    server-side session attach, unrelated to graph size.  Absorb it in a
+    daemon thread so it overlaps with the main thread's tracing of the
+    fields graphs instead of inflating the first row's compile time."""
+    import threading
+
+    def warm():
+        try:
+            t0 = time.monotonic()
+            x = jnp.ones((8, 128), jnp.float32)
+            jax.device_get(jax.jit(lambda v: (v @ v.T).sum())(x))
+            METRICS["device_warmup_s"] = round(time.monotonic() - t0, 1)
+        except Exception as e:  # pragma: no cover - never fail the bench
+            METRICS["device_warmup_error"] = type(e).__name__
+
+    t = threading.Thread(target=warm, daemon=True)
+    t.start()
+    return t
+
+
 def over_deadline(key: str, reserve: float = 0.0) -> bool:
     """True (and emits a skip marker) when the budget is spent."""
     if elapsed() + reserve <= DEADLINE_S:
@@ -598,7 +620,9 @@ def main():
         _HEADLINE["value"] = bench_fields_cpu_reduced()
     else:
         emit("platform", _PLATFORM)
+        warm_thread = _start_device_warmup()
         _HEADLINE["value"] = bench_fields()
+        warm_thread.join(timeout=1.0)
         # Section order = value order; 2^24 MSM last (round-3 verdict #1).
         # Every section fail-soft AND deadline-guarded.
         for section in (bench_pairing, bench_curves, bench_deserialize,

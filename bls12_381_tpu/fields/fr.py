@@ -43,6 +43,11 @@ def inv(a):
     return limbs.pow_fixed(FR, a, params.Q - 2)
 
 
+# the runtime-exponent device `pow` below shadows the builtin in this
+# module's globals; integer constant derivations must use the builtin
+_int_pow = pow
+
+
 def pow(a, exp_limbs):
     """a^e with a runtime exponent tensor — `ff::Field::pow` parity
     (reference scalar.rs:373-390).  exp_limbs: canonical limb rows, e.g.
@@ -106,20 +111,21 @@ def sqrt(a):
     w = pow_fixed(a, (t - 1) // 2)
     x = mul(a, w)  # a^((t+1)/2)
     b = mul(x, w)  # a^t = omega^e for QRs (omega = ROOT_OF_UNITY, order 2^S)
-    root_inv = pow(params.FR_ROOT_OF_UNITY, params.Q - 2, params.Q)
+    root_inv = _int_pow(params.FR_ROOT_OF_UNITY, params.Q - 2, params.Q)
 
     one_b = one(batch)
     # per-k constants: omega^(-2^k) (dlog bit clear) and omega^(-2^(k-1))
     # (half-exponent factor; unused for k = 0)
     c_tab = jnp.stack(
         [
-            np.asarray(const(pow(root_inv, 1 << k, params.Q)))
+            np.asarray(const(_int_pow(root_inv, 1 << k, params.Q)))
             for k in range(S)
         ]
     )  # [S, L]
     h_tab = jnp.stack(
         [
-            np.asarray(const(pow(root_inv, 1 << max(k - 1, 0), params.Q)))
+            np.asarray(const(_int_pow(root_inv, 1 << max(k - 1, 0),
+                                      params.Q)))
             for k in range(S)
         ]
     )
@@ -202,7 +208,7 @@ def pow_fixed(a, e: int):
 
 def root_of_unity_pow(k: int):
     """omega^k as a device constant (for NTT twiddle tables)."""
-    return pow(ROOT_OF_UNITY, k, params.Q)
+    return _int_pow(ROOT_OF_UNITY, k, params.Q)
 
 
 # ---------------------------------------------------------------------------

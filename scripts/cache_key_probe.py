@@ -18,13 +18,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/bls12381_jax")
 
+# Must run BEFORE `import jax`: jax/absl may install a root handler during
+# import, which would make a later basicConfig a silent no-op and drop the
+# jax._src.cache_key DEBUG hash lines this script exists to capture.
+# force=True also clears any handler an embedding environment installed.
+logging.basicConfig(stream=sys.stderr, level=logging.DEBUG, force=True)
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/bls12381_jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_explain_cache_misses", True)
 
-logging.basicConfig(stream=sys.stderr, level=logging.DEBUG)
 for name in ("jax._src.cache_key", "jax._src.compilation_cache",
              "jax._src.compiler"):
     logging.getLogger(name).setLevel(logging.DEBUG)
