@@ -260,6 +260,150 @@ def butterfly_pallas(a, b, w, *, n_limbs, inv16, p_limbs, block_b=4096,
     return out[:, :, :bsz] if pad else out
 
 
+
+# ---------------------------------------------------------------------------
+# Per-limb ("scalar register") kernel variants.
+#
+# The vectorized limbvec kernels trace ~20x faster but spend ~3.7x more VPU
+# work on the padded full-width column updates (measured on TPU: fp_mul
+# 992M/s scalar vs 270M/s vectorized at batch 2^16).  For the throughput-
+# critical standalone field ops (limbs.mont_mul / mont_sqr chains, which
+# trace ONE kernel per enclosing graph, so trace cost is irrelevant) the
+# per-limb variants below stay the production route; the vectorized ones
+# power the plan/fold kernels where a graph contains dozens of kernel
+# instantiations and tracing dominated end-to-end latency.
+# ---------------------------------------------------------------------------
+
+def _repack_16_to_12(rows, n12):
+    """24 16-bit limb registers -> n12 12-bit limb registers ([bb] each).
+
+    Offsets 12k mod 16 cycle through {0, 12, 8, 4}: a 12-bit limb straddles
+    at most two 16-bit rows.
+    """
+    M12 = np.uint32(0xFFF)
+    out = []
+    for k in range(n12):
+        bit = 12 * k
+        i0, off = bit // 16, bit % 16
+        v = rows[i0] >> np.uint32(off) if off else rows[i0]
+        if off > 4 and i0 + 1 < len(rows):
+            v = v | (rows[i0 + 1] << np.uint32(16 - off))
+        out.append(v & M12)
+    return out
+
+
+def _repack_12_to_16(limbs12, n16):
+    """n12 12-bit limb registers -> n16 16-bit limb registers.
+
+    Offsets 16i mod 12 are always in {0, 4, 8}: a 16-bit row is covered by
+    exactly two 12-bit limbs.
+    """
+    M16 = np.uint32(0xFFFF)
+    out = []
+    for i in range(n16):
+        bit = 16 * i
+        j0, off = bit // 12, bit % 12
+        v = limbs12[j0] >> np.uint32(off) if off else limbs12[j0]
+        if j0 + 1 < len(limbs12):
+            v = v | (limbs12[j0 + 1] << np.uint32(12 - off))
+        out.append(v & M16)
+    return out
+
+
+def _r12_reduce_and_pack(acc, *, l12, inv12, p12, n16):
+    """Shared tail for the radix-12 kernels: Montgomery rounds over 12-bit
+    columns, carry ripple, conditional subtract, repack to 16-bit rows.
+
+    acc: list of 2*l12-1 lazy columns ([bb] uint32 registers).
+    Returns the n16 result rows as a list of registers.
+    """
+    M12 = np.uint32(0xFFF)
+    inv = np.uint32(inv12)
+    acc = acc + [jnp.zeros_like(acc[0])]  # headroom column 2*l12-1
+    for k in range(l12):
+        m = (acc[k] * inv) & M12
+        for j in range(l12):
+            acc[k + j] = acc[k + j] + m * np.uint32(p12[j])
+        acc[k + 1] = acc[k + 1] + (acc[k] >> np.uint32(12))
+
+    # carry ripple over columns l12 .. 2*l12-1 => l12 clean limbs (value < 2p
+    # fits l12 * 12 = 384 bits)
+    carry = jnp.zeros_like(acc[0])
+    t_out = []
+    for k in range(l12, 2 * l12):
+        v = acc[k] + carry
+        t_out.append(v & M12)
+        carry = v >> np.uint32(12)
+
+    # conditional subtract p (12-bit ripple borrow)
+    borrow = jnp.zeros_like(acc[0])
+    diffs = []
+    for i in range(l12):
+        v = t_out[i] + np.uint32(1 << 12) - np.uint32(p12[i]) - borrow
+        diffs.append(v & M12)
+        borrow = np.uint32(1) - (v >> np.uint32(12))
+    final = [
+        jnp.where(borrow == 0, d, t) for d, t in zip(diffs, t_out)
+    ]
+    return _repack_12_to_16(final, n16)
+
+
+def _sop_kernel_r12_scalar(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv12,
+                    p12, l12):
+    """Radix-2^12 sum-of-products kernel.
+
+    Operands arrive as 16-bit limbs and are repacked to 12-bit limbs in
+    registers.  With 12-bit digits every product is < 2^24, so schoolbook
+    columns accumulate RAW (no per-product lo/hi splitting): a column absorbs
+    l12 products per term plus l12 reduction products — (T+1) * l12 * 4095^2
+    < 2^32 for T <= 6.  The Montgomery radix stays 2^384 = 2^(12*32), so
+    results are bit-identical to the 16-bit path.
+    """
+    L, T = n_limbs, n_terms
+    assert T <= 6, "radix-12 raw accumulation bound"
+    bb = out_ref.shape[-1]
+    zero = jnp.zeros((bb,), jnp.uint32)
+    acc = [zero] * (2 * l12 - 1)
+
+    for t in range(T):
+        a12 = _repack_16_to_12([a_ref[t, i] for i in range(L)], l12)
+        b12 = _repack_16_to_12([b_ref[t, i] for i in range(L)], l12)
+        for i in range(l12):
+            ai = a12[i]
+            for j in range(l12):
+                acc[i + j] = acc[i + j] + ai * b12[j]
+
+    rows = _r12_reduce_and_pack(acc, l12=l12, inv12=inv12, p12=p12, n16=L)
+    out_ref[:] = jnp.stack(rows)
+
+
+def _sqr_kernel_r12_scalar(a_ref, out_ref, *, n_limbs, n_groups, inv12, p12,
+                           l12):
+    """Radix-2^12 squaring kernel: off-diagonal products computed once and
+    doubled (products < 2^24 so doubling cannot overflow).  Column budget:
+    <= l12 phase-1 contributions + l12 reduction products, same bound as T=1.
+    """
+    L, G = n_limbs, n_groups
+    bb = out_ref.shape[-1]
+    groups = []
+    for g in range(G):
+        a12 = _repack_16_to_12([a_ref[g, i] for i in range(L)], l12)
+        zero = jnp.zeros((bb,), jnp.uint32)
+        acc = [zero] * (2 * l12 - 1)
+        for i in range(l12):
+            sq = a12[i] * a12[i]
+            acc[2 * i] = acc[2 * i] + sq
+            for j in range(i + 1, l12):
+                pr = a12[i] * a12[j]
+                acc[i + j] = acc[i + j] + pr + pr
+        rows = _r12_reduce_and_pack(
+            acc, l12=l12, inv12=inv12, p12=p12, n16=L
+        )
+        groups.append(jnp.stack(rows))
+    out_ref[:] = jnp.stack(groups)
+
+
+
 def _r12_params(p_limbs16):
     """(l12, inv12, p12 limbs) for a modulus given as 16-bit limbs, or None
     if the bit width is not a multiple of 12 (radix-12 needs R = 2^(12*l12)
@@ -285,9 +429,11 @@ def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
     a_stack, b_stack: [T, L, B] uint32 (Montgomery operands, canonical limbs).
     Returns [L, B].  p_limbs must be a hashable tuple of ints.
 
-    version 3 = radix-12 raw-accumulation kernel (fastest; needs 12 | 16L and
-    T <= 6, else falls back), 2 = 16-bit register kernel, 1 = scratch-ref
-    kernel (kept for comparison benchmarks).
+    version 3 = radix-12 raw-accumulation kernel in per-limb registers
+    (fastest at runtime; needs 12 | 16L and T <= 6, else falls back),
+    4 = vectorized radix-12 (limbvec; ~20x faster to trace, ~3.7x slower to
+    run — for trace-bound comparisons), 2 = 16-bit register kernel, 1 =
+    scratch-ref kernel (kept for comparison benchmarks).
     """
     t, l, b = a_stack.shape
     assert l == n_limbs
@@ -312,7 +458,7 @@ def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
     out_spec = pl.BlockSpec((l, bb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     r12 = _r12_params(p_limbs) if version >= 3 else None
-    if r12 is not None and t <= 6:
+    if r12 is not None and t <= 6 and version >= 4:
         l12, inv12, p12 = r12
         kernel = functools.partial(
             _sop_kernel_r12, n_limbs=l, n_terms=t, inv12=inv12, l12=l12,
@@ -321,6 +467,15 @@ def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
             kernel, in_specs=op_specs + [_col_spec(l12)],
             out_specs=out_spec, **common
         )(a_stack, b_stack, _const_col(p12))
+    elif r12 is not None and t <= 6:
+        l12, inv12, p12 = r12
+        kernel = functools.partial(
+            _sop_kernel_r12_scalar, n_limbs=l, n_terms=t, inv12=inv12,
+            p12=p12, l12=l12,
+        )
+        out = pl.pallas_call(
+            kernel, in_specs=op_specs, out_specs=out_spec, **common
+        )(a_stack, b_stack)
     elif version >= 2:
         kernel = functools.partial(
             _sop_kernel_reg, n_limbs=l, n_terms=t, inv16=inv16,
@@ -348,15 +503,18 @@ def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
 
 @functools.partial(
     jax.jit, static_argnames=("n_limbs", "inv16", "p_limbs", "block_b",
-                              "interpret")
+                              "interpret", "version")
 )
 def sqr_pallas(a_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
-               interpret=False):
+               interpret=False, version=3):
     """Batched Montgomery squares over G independent groups.
 
     a_stack: [G, L, B] uint32.  Returns [G, L, B].  Uses the radix-12
     squaring kernel (off-diagonal products doubled) when 12 | 16L, else
-    falls back to sop_pallas with a == b per group.
+    falls back to sop_pallas with a == b per group.  version 3 = per-limb
+    registers (production), 4 = vectorized limbvec (trace-bound contexts
+    and the CPU-interpret fast tier, where XLA CPU compiles the per-limb
+    graph orders of magnitude slower).
     """
     g, l, b = a_stack.shape
     assert l == n_limbs
@@ -383,20 +541,29 @@ def sqr_pallas(a_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
     if pad:
         a_stack = jnp.pad(a_stack, ((0, 0), (0, 0), (0, pad)))
     bp = b + pad
-    kernel = functools.partial(
-        _sqr_kernel_r12, n_limbs=l, n_groups=g, inv12=inv12, l12=l12
-    )
+    in_specs = [
+        pl.BlockSpec((g, l, bb), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    if version >= 4:
+        kernel = functools.partial(
+            _sqr_kernel_r12, n_limbs=l, n_groups=g, inv12=inv12, l12=l12
+        )
+        in_specs.append(_col_spec(l12))
+        args = (a_stack, _const_col(p12))
+    else:
+        kernel = functools.partial(
+            _sqr_kernel_r12_scalar, n_limbs=l, n_groups=g, inv12=inv12,
+            p12=p12, l12=l12
+        )
+        args = (a_stack,)
     out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
-        in_specs=[
-            pl.BlockSpec((g, l, bb), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            _col_spec(l12),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, l, bb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, l, bp), jnp.uint32),
         interpret=interpret,
-    )(a_stack, _const_col(p12))
+    )(*args)
     return out[:, :, :b] if pad else out
