@@ -45,6 +45,13 @@ class Config:
     # chain this many cyclotomic squarings per plan-kernel launch in the
     # final-exp pow-by-|z| runs (1 disables chaining)
     cyclo_fuse: int = int(os.environ.get("BLS12_381_TPU_CYCLO_FUSE", "4"))
+    # group-law plan-kernel evaluator: "scalar" (per-limb registers, ~2x
+    # ALU throughput — the default for user-facing curve ops) or "vector"
+    # (limbvec, ~10x cheaper to TRACE — scoped on by graphs that
+    # instantiate the group law at many distinct shapes, e.g. the MSM
+    # bucket scans, where client-side tracing would otherwise dominate)
+    plan_variant: str = os.environ.get("BLS12_381_TPU_PLAN_VARIANT",
+                                       "scalar")
     # windowed scalar-mul table lookup: "tree" (signed digits, masked-select
     # tree over 2^(w-1)+1 entries), "onehot" (signed digits, one-hot
     # multiply-accumulate), or "unsigned" (round-3 path: unsigned digits,

@@ -34,7 +34,14 @@ def _fused(plan_name, comps):
 
     if not pe.enabled():
         return None
-    o = pe.run_plan(getattr(pe, plan_name)(), comps)
+    # config.plan_variant: "scalar" (per-limb registers, ~2x ALU
+    # throughput) by default; graphs that instantiate the group law at
+    # many distinct shapes (MSM bucket scans) scope it to "vector" so
+    # client-side tracing stays bounded (see plan_exec)
+    from .. import config
+
+    o = pe.run_plan(getattr(pe, plan_name)(), comps,
+                    variant=config.get().plan_variant)
     return (o[0], o[1], o[2])
 
 

@@ -36,8 +36,12 @@ def _fused(plan_name, f2s):
 
     if not pe.enabled():
         return None
+    # config.plan_variant routing: see curves/g1.py _fused
+    from .. import config
+
     o = pe.run_plan(
-        getattr(pe, plan_name)(), [c for f2 in f2s for c in f2]
+        getattr(pe, plan_name)(), [c for f2 in f2s for c in f2],
+        variant=config.get().plan_variant,
     )
     return ((o[0], o[1]), (o[2], o[3]), (o[4], o[5]))
 

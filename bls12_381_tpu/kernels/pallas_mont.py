@@ -128,15 +128,99 @@ def _sqr_kernel_r12(a_ref, p12_ref, out_ref, *, n_limbs, n_groups, inv12,
     out_ref[:] = jnp.stack(groups)
 
 
-def _sop_kernel_reg(a_ref, b_ref, p16_ref, out_ref, *, n_limbs, n_terms,
-                    inv16):
-    """16-bit register variant for ANY modulus width (the production route
-    for Fr): vectorized lazy lo/hi column accumulation (limbvec.mont_sop_16).
+def _sop_kernel_reg(a_ref, b_ref, out_ref, *, n_limbs, n_terms, inv16,
+                    p_limbs):
+    """Register-resident variant: the 2L+1 lazy columns live as SSA values
+    (a Python list) instead of a VMEM scratch ref, so there are no
+    misaligned-sublane read-modify-writes — Mosaic keeps the accumulators in
+    vregs and the kernel is pure VPU ALU work.
 
     Column bounds: each column absorbs <= 2*L*T 16-bit halves plus L 16-bit
     halves from the reduction, so values stay far below 2^32 (see limbs.py).
     """
+    L, T = n_limbs, n_terms
+    bb = out_ref.shape[-1]
+    zero = jnp.zeros((bb,), jnp.uint32)
+    acc = [zero] * (2 * L + 1)
+
+    # phase 1: schoolbook columns, products split lazily
+    for t in range(T):
+        b_t = [b_ref[t, j] for j in range(L)]
+        for i in range(L):
+            ai = a_ref[t, i]
+            for j in range(L):
+                prod = ai * b_t[j]
+                acc[i + j] = acc[i + j] + (prod & MASK)
+                acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+
+    # phase 2: L Montgomery rounds with scalar p limbs
+    inv = np.uint32(inv16)
+    for k in range(L):
+        m = (acc[k] * inv) & MASK
+        for j in range(L):
+            pj = np.uint32(p_limbs[j])
+            mp = m * pj
+            acc[k + j] = acc[k + j] + (mp & MASK)
+            acc[k + j + 1] = acc[k + j + 1] + (mp >> LIMB_BITS)
+        acc[k + 1] = acc[k + 1] + (acc[k] >> LIMB_BITS)
+
+    # phase 3: carry ripple over the top L+1 columns (value < 2p)
+    carry = zero
+    t_out = []
+    for k in range(L, 2 * L + 1):
+        v = acc[k] + carry
+        t_out.append(v & MASK)
+        carry = v >> LIMB_BITS
+
+    # conditional subtract p over L+1 limbs
+    borrow = zero
+    diffs = []
+    for i in range(L + 1):
+        p_i = np.uint32(p_limbs[i]) if i < L else np.uint32(0)
+        v = t_out[i] + np.uint32(1 << LIMB_BITS) - p_i - borrow
+        diffs.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    take = (borrow == 0)[None, :]
+    diff = jnp.stack(diffs[:L])
+    out_ref[:] = jnp.where(take, diff, jnp.stack(t_out[:L]))
+
+
+
+def _sop_kernel_reg_vec(a_ref, b_ref, p16_ref, out_ref, *, n_limbs, n_terms,
+                        inv16):
+    """Vectorized 16-bit register kernel (limbvec.mont_sop_16): the
+    CPU-interpret fast tier's route (XLA CPU compiles the per-limb variant
+    impractically slowly); bit-exact vs _sop_kernel_reg."""
     out_ref[:] = lv.mont_sop_16(a_ref[...], b_ref[...], inv16, p16_ref[...])
+
+
+def _fold_planned_kernel_r12_scalar(ia_ref, ib_ref, ops_ref, out_ref, *, n_limbs,
+                             n_terms, inv12, p12, l12):
+    """Uniform planned-fold kernel: out[g] = sum_t ops[ia[g,t]] * ops[ib[g,t]].
+
+    Grid = (batch_blocks, G); the operand stack [K, L, bb] is block-constant
+    across the inner G steps, so Mosaic fetches it from HBM once per batch
+    block — distinct operands are read ONCE instead of duplicated per
+    (group, term) like the stacked sop layout.  Term lists are padded to
+    n_terms with index 0 = the all-zeros row (contributes nothing).
+    ia/ib live in SMEM ([G, T] int32 scalars).
+    """
+    L = n_limbs
+    bb = out_ref.shape[-1]
+    g = pl.program_id(1)
+    zero = jnp.zeros((bb,), jnp.uint32)
+    acc = [zero] * (2 * l12 - 1)
+    for t in range(n_terms):
+        ia = ia_ref[g, t]
+        ib = ib_ref[g, t]
+        a12 = _repack_16_to_12([ops_ref[ia, i] for i in range(L)], l12)
+        b12 = _repack_16_to_12([ops_ref[ib, i] for i in range(L)], l12)
+        for i in range(l12):
+            ai = a12[i]
+            for j in range(l12):
+                acc[i + j] = acc[i + j] + ai * b12[j]
+    rows = _r12_reduce_and_pack(acc, l12=l12, inv12=inv12, p12=p12, n16=L)
+    out_ref[0] = jnp.stack(rows)
 
 
 def _fold_planned_kernel_r12(ia_ref, ib_ref, ops_ref, p12_ref, out_ref, *,
@@ -161,10 +245,11 @@ def _fold_planned_kernel_r12(ia_ref, ib_ref, ops_ref, p12_ref, out_ref, *,
 
 @functools.partial(
     jax.jit, static_argnames=("n_limbs", "inv16", "p_limbs", "n_terms",
-                              "block_b", "interpret")
+                              "block_b", "interpret", "variant")
 )
 def fold_planned_pallas(ops_stack, ia, ib, *, n_limbs, inv16, p_limbs,
-                        n_terms, block_b=1024, interpret=False):
+                        n_terms, block_b=1024, interpret=False,
+                        variant="scalar"):
     """Planned fused fold: G groups of <= n_terms products over K distinct
     operands.  ops_stack: [K, L, B] (row 0 MUST be zeros); ia/ib: [G, T]
     int32 operand indices.  Returns [G, L, B].
@@ -182,40 +267,139 @@ def fold_planned_pallas(ops_stack, ia, ib, *, n_limbs, inv16, p_limbs,
     if pad:
         ops_stack = jnp.pad(ops_stack, ((0, 0), (0, 0), (0, pad)))
     bp = b + pad
-    kernel = functools.partial(
-        _fold_planned_kernel_r12, n_limbs=l, n_terms=n_terms, inv12=inv12,
-        l12=l12,
-    )
-    out = pl.pallas_call(
-        kernel,
+    smem = pl.BlockSpec((gcount, t), lambda i, g: (0, 0),
+                        memory_space=pltpu.SMEM)
+    ops_spec = pl.BlockSpec((k, l, bb), lambda i, g: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    common = dict(
         grid=(bp // bb, gcount),
-        in_specs=[
-            pl.BlockSpec((gcount, t), lambda i, g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((gcount, t), lambda i, g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((k, l, bb), lambda i, g: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            _col_spec(l12, n_grid=2),
-        ],
         out_specs=pl.BlockSpec((1, l, bb), lambda i, g: (g, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gcount, l, bp), jnp.uint32),
         interpret=interpret,
-    )(ia, ib, ops_stack, _const_col(p12))
+    )
+    if variant == "vector":
+        kernel = functools.partial(
+            _fold_planned_kernel_r12, n_limbs=l, n_terms=n_terms,
+            inv12=inv12, l12=l12,
+        )
+        out = pl.pallas_call(
+            kernel, in_specs=[smem, smem, ops_spec, _col_spec(l12, n_grid=2)],
+            **common,
+        )(ia, ib, ops_stack, _const_col(p12))
+    else:
+        kernel = functools.partial(
+            _fold_planned_kernel_r12_scalar, n_limbs=l, n_terms=n_terms,
+            inv12=inv12, p12=p12, l12=l12,
+        )
+        out = pl.pallas_call(
+            kernel, in_specs=[smem, smem, ops_spec], **common,
+        )(ia, ib, ops_stack)
     return out[:, :, :b] if pad else out
 
 
-def _butterfly_kernel_16(a_ref, b_ref, w_ref, p16_ref, out_ref, *, n_limbs,
-                         inv16):
+def _mont_mul_rows_16(b_rows, w_rows, *, n_limbs, inv16, p16, zero):
+    """In-kernel 16-bit-limb Montgomery product of two row lists -> canonical
+    row list (the _sop_kernel_reg pipeline as a reusable helper; works for
+    ANY modulus, unlike the radix-12 path)."""
+    L = n_limbs
+    acc = [zero] * (2 * L + 1)
+    for i in range(L):
+        bi = b_rows[i]
+        for j in range(L):
+            prod = bi * w_rows[j]
+            acc[i + j] = acc[i + j] + (prod & MASK)
+            acc[i + j + 1] = acc[i + j + 1] + (prod >> LIMB_BITS)
+    inv = np.uint32(inv16)
+    for k in range(L):
+        m = (acc[k] * inv) & MASK
+        for j in range(L):
+            mp = m * p16[j]
+            acc[k + j] = acc[k + j] + (mp & MASK)
+            acc[k + j + 1] = acc[k + j + 1] + (mp >> LIMB_BITS)
+        acc[k + 1] = acc[k + 1] + (acc[k] >> LIMB_BITS)
+    carry = zero
+    t_out = []
+    for k in range(L, 2 * L + 1):
+        v = acc[k] + carry
+        t_out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    # conditional subtract p over L+1 limbs (value < 2p)
+    borrow = zero
+    diffs = []
+    for i in range(L + 1):
+        p_i = p16[i] if i < L else np.uint32(0)
+        v = t_out[i] + np.uint32(1 << LIMB_BITS) - p_i - borrow
+        diffs.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    take = borrow == 0
+    return [jnp.where(take, d, t) for d, t in zip(diffs[:L], t_out[:L])]
+
+
+def _butterfly_kernel_16(a_ref, b_ref, w_ref, out_ref, *, n_limbs, inv16,
+                         p16):
     """Fused NTT butterfly: t = b*w (Montgomery); lo = a+t; hi = a-t.
 
     One VMEM pass instead of three separate XLA subgraphs (mul + add + sub,
     each with its own carry-propagation network and HBM round trip) — the
     radix-2 NTT stage becomes compute-bound on the multiply.  16-bit limb
-    pipeline (Fr's 256-bit width is not radix-12 compatible); vectorized
-    per kernels/limbvec.py.  out_ref: [2, L, bb] = (lo, hi).
+    pipeline (Fr's 256-bit width is not radix-12 compatible).
+    out_ref: [2, L, bb] = (lo, hi).
     """
+    L = n_limbs
+    bb = out_ref.shape[-1]
+    zero = jnp.zeros((bb,), jnp.uint32)
+
+    t_rows = _mont_mul_rows_16(
+        [b_ref[i] for i in range(L)],
+        [w_ref[i] for i in range(L)],
+        n_limbs=L, inv16=inv16, p16=p16, zero=zero,
+    )
+    a_rows = [a_ref[i] for i in range(L)]
+
+    # lo = a + t, conditionally minus p (sum < 2p)
+    carry = zero
+    s_rows = []
+    for i in range(L):
+        v = a_rows[i] + t_rows[i] + carry
+        s_rows.append(v & MASK)
+        carry = v >> LIMB_BITS
+    borrow = zero
+    d_rows = []
+    for i in range(L):
+        v = s_rows[i] + np.uint32(1 << LIMB_BITS) - p16[i] - borrow
+        d_rows.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    # take the subtracted value if (carry:borrowless) sum >= p:
+    # sum = carry*2^384 + s; sum - p = ... keep d if no net borrow
+    take_d = ((carry + np.uint32(1) - borrow) > 0)[None, :]
+    lo = jnp.where(take_d, jnp.stack(d_rows), jnp.stack(s_rows))
+
+    # hi = a - t, plus p on borrow
+    borrow = zero
+    e_rows = []
+    for i in range(L):
+        v = a_rows[i] + np.uint32(1 << LIMB_BITS) - t_rows[i] - borrow
+        e_rows.append(v & MASK)
+        borrow = np.uint32(1) - (v >> LIMB_BITS)
+    carry = zero
+    f_rows = []
+    for i in range(L):
+        v = e_rows[i] + p16[i] + carry
+        f_rows.append(v & MASK)
+        carry = v >> LIMB_BITS
+    add_p = (borrow > 0)[None, :]
+    hi = jnp.where(add_p, jnp.stack(f_rows), jnp.stack(e_rows))
+
+    out_ref[0] = lo
+    out_ref[1] = hi
+
+
+
+def _butterfly_kernel_16_vec(a_ref, b_ref, w_ref, p16_ref, out_ref, *,
+                             n_limbs, inv16):
+    """Vectorized butterfly (limbvec): the CPU-interpret fast tier's route;
+    bit-exact vs _butterfly_kernel_16."""
     p16c = p16_ref[...]
     t = lv.mont_mul_16(b_ref[...], w_ref[...], inv16, p16c)
     a = a_ref[...]
@@ -225,10 +409,10 @@ def _butterfly_kernel_16(a_ref, b_ref, w_ref, p16_ref, out_ref, *, n_limbs,
 
 @functools.partial(
     jax.jit, static_argnames=("n_limbs", "inv16", "p_limbs", "block_b",
-                              "interpret")
+                              "interpret", "variant")
 )
 def butterfly_pallas(a, b, w, *, n_limbs, inv16, p_limbs, block_b=4096,
-                     interpret=False):
+                     interpret=False, variant="scalar"):
     """Batched fused butterfly (lo, hi) = (a + b*w, a - b*w) mod p.
 
     a, b, w: [L, B] uint32 canonical Montgomery limbs; returns [2, L, B].
@@ -246,17 +430,28 @@ def butterfly_pallas(a, b, w, *, n_limbs, inv16, p_limbs, block_b=4096,
         b = jnp.pad(b, ((0, 0), (0, pad)))
         w = jnp.pad(w, ((0, 0), (0, pad)))
     bp = bsz + pad
-    kernel = functools.partial(_butterfly_kernel_16, n_limbs=l, inv16=inv16)
     spec = pl.BlockSpec((l, bb), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(bp // bb,),
-        in_specs=[spec, spec, spec, _col_spec(l)],
         out_specs=pl.BlockSpec((2, l, bb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, l, bp), jnp.uint32),
         interpret=interpret,
-    )(a, b, w, _const_col(p_limbs))
+    )
+    if variant == "vector":
+        kernel = functools.partial(
+            _butterfly_kernel_16_vec, n_limbs=l, inv16=inv16)
+        out = pl.pallas_call(
+            kernel, in_specs=[spec, spec, spec, _col_spec(l)], **common,
+        )(a, b, w, _const_col(p_limbs))
+    else:
+        kernel = functools.partial(
+            _butterfly_kernel_16, n_limbs=l, inv16=inv16,
+            p16=tuple(np.uint32(x) for x in p_limbs),
+        )
+        out = pl.pallas_call(
+            kernel, in_specs=[spec, spec, spec], **common,
+        )(a, b, w)
     return out[:, :, :bsz] if pad else out
 
 
@@ -476,14 +671,22 @@ def sop_pallas(a_stack, b_stack, *, n_limbs, inv16, p_limbs, block_b=2048,
         out = pl.pallas_call(
             kernel, in_specs=op_specs, out_specs=out_spec, **common
         )(a_stack, b_stack)
-    elif version >= 2:
+    elif version == 5:
         kernel = functools.partial(
-            _sop_kernel_reg, n_limbs=l, n_terms=t, inv16=inv16,
+            _sop_kernel_reg_vec, n_limbs=l, n_terms=t, inv16=inv16,
         )
         out = pl.pallas_call(
             kernel, in_specs=op_specs + [_col_spec(l)],
             out_specs=out_spec, **common
         )(a_stack, b_stack, _const_col(p_limbs))
+    elif version >= 2:
+        kernel = functools.partial(
+            _sop_kernel_reg, n_limbs=l, n_terms=t, inv16=inv16,
+            p_limbs=tuple(int(x) for x in p_limbs),
+        )
+        out = pl.pallas_call(
+            kernel, in_specs=op_specs, out_specs=out_spec, **common
+        )(a_stack, b_stack)
     else:
         kernel = functools.partial(
             _sop_kernel, n_limbs=l, n_terms=t, inv16=inv16

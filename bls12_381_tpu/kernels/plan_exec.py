@@ -36,7 +36,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mont import _r12_params
+from .pallas_mont import (_r12_params, _repack_16_to_12,
+                          _r12_reduce_and_pack)
 
 M16 = np.uint32(0xFFFF)
 
@@ -598,6 +599,92 @@ def g2_add_mixed_plan():
 # ---------------------------------------------------------------------------
 
 
+
+# Per-limb scalar-register DAG evaluator: ~2x the runtime throughput of the
+# vectorized one on ALU-bound large batches (group-law chains at batch
+# 2^12+), at ~10x the trace cost — used for the SMALL plans (group laws:
+# <= 9 sops) where a graph holds only a handful of kernel instantiations.
+def _mod_add_rows(a, b, p16):
+    """Canonical (a + b) mod p over 16-bit limb registers (ripple carry +
+    conditional subtract)."""
+    L = len(a)
+    one = np.uint32(1)
+    c = jnp.zeros_like(a[0])
+    s = []
+    for i in range(L):
+        v = a[i] + b[i] + c
+        s.append(v & M16)
+        c = v >> np.uint32(16)
+    # conditional subtract: value = c * 2^384 + s < 2p
+    br = jnp.zeros_like(a[0])
+    d = []
+    for i in range(L):
+        v = s[i] + np.uint32(0x10000) - np.uint32(p16[i]) - br
+        d.append(v & M16)
+        br = one - (v >> np.uint32(16))
+    take = (c != 0) | (br == 0)
+    return [jnp.where(take, di, si) for di, si in zip(d, s)]
+
+
+def _mod_sub_rows(a, b, p16):
+    """Canonical (a - b) mod p: a + (p - b), then conditional subtract."""
+    L = len(a)
+    one = np.uint32(1)
+    br = jnp.zeros_like(a[0])
+    pb = []
+    for i in range(L):
+        v = np.uint32(p16[i]) + np.uint32(0x10000) - b[i] - br
+        pb.append(v & M16)
+        br = one - (v >> np.uint32(16))
+    return _mod_add_rows(a, pb, p16)
+
+
+def _plan_kernel_scalar(ops_ref, out_ref, *, outputs, n_limbs, inv12, p12, p16,
+                 l12):
+    L = n_limbs
+    zero_rows = None
+    cache16 = {}
+    cache12 = {}
+
+    def rows(n):
+        r = cache16.get(n)
+        if r is not None:
+            return r
+        if n.op == "in":
+            r = [ops_ref[n.args[0], i] for i in range(L)]
+        elif n.op == "add":
+            r = _mod_add_rows(rows(n.args[0]), rows(n.args[1]), p16)
+        elif n.op == "sub":
+            r = _mod_sub_rows(rows(n.args[0]), rows(n.args[1]), p16)
+        elif n.op == "neg":
+            nonlocal zero_rows
+            if zero_rows is None:
+                zero_rows = [jnp.zeros_like(ops_ref[0, 0])] * L
+            r = _mod_sub_rows(zero_rows, rows(n.args[0]), p16)
+        elif n.op == "sop":
+            acc = [jnp.zeros_like(ops_ref[0, 0])] * (2 * l12 - 1)
+            for (na, nb) in n.args:
+                a12, b12 = rows12(na), rows12(nb)
+                for i in range(l12):
+                    ai = a12[i]
+                    for j in range(l12):
+                        acc[i + j] = acc[i + j] + ai * b12[j]
+            r = _r12_reduce_and_pack(
+                acc, l12=l12, inv12=inv12, p12=p12, n16=L)
+        else:  # pragma: no cover
+            raise ValueError(n.op)
+        cache16[n] = r
+        return r
+
+    def rows12(n):
+        r = cache12.get(n)
+        if r is None:
+            r = cache12[n] = _repack_16_to_12(rows(n), l12)
+        return r
+
+    out_ref[:] = jnp.stack([jnp.stack(rows(o)) for o in outputs])
+
+
 def _plan_schedule(outputs):
     """Level-batched schedule: group independent same-op nodes so the
     kernel evaluates each group as ONE vectorized limbvec call.
@@ -685,14 +772,21 @@ def _plan_kernel(ops_ref, p16_ref, p12_ref, out_ref, *, outputs, n_limbs,
 @functools.partial(
     jax.jit,
     static_argnames=("outputs", "n_limbs", "inv16", "p_limbs", "block_b",
+                     "variant",
                      "interpret"),
 )
 def plan_exec_pallas(ops_stack, *, outputs, n_limbs, inv16, p_limbs,
-                     block_b=512, interpret=False):
+                     block_b=512, interpret=False, variant="vector"):
     """Evaluate a plan over stacked operands.
 
     ops_stack: [K, L, B] uint32 canonical Montgomery limbs;
     outputs: tuple of Nodes;  returns [O, L, B].
+
+    variant "vector" (limbvec, default): ~20x cheaper to trace — for the
+    big fp12/pairing plans (dozens of kernel instantiations per graph,
+    launch-bound at pairing batch sizes).  "scalar": per-limb registers,
+    ~2x the ALU throughput — for the small group-law plans driving the
+    large-batch curve/MSM chains.
     """
     k, l, b = ops_stack.shape
     assert l == n_limbs
@@ -707,26 +801,33 @@ def plan_exec_pallas(ops_stack, *, outputs, n_limbs, inv16, p_limbs,
     if pad:
         ops_stack = jnp.pad(ops_stack, ((0, 0), (0, 0), (0, pad)))
     bp = b + pad
-    kernel = functools.partial(
-        _plan_kernel, outputs=outputs, n_limbs=l, inv12=inv12, l12=l12,
-    )
-    p16c = jnp.asarray(np.asarray(p_limbs, np.uint32).reshape(-1, 1))
-    p12c = jnp.asarray(np.asarray(p12, np.uint32).reshape(-1, 1))
-    col = lambda rows: pl.BlockSpec(  # noqa: E731 - block-constant column
-        (rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
+    op_spec = pl.BlockSpec((k, l, bb), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_out, l, bb), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    common = dict(
         grid=(bp // bb,),
-        in_specs=[
-            pl.BlockSpec((k, l, bb), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            col(l), col(l12),
-        ],
-        out_specs=pl.BlockSpec((n_out, l, bb), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, l, bp), jnp.uint32),
         interpret=interpret,
-    )(ops_stack, p16c, p12c)
+    )
+    if variant == "scalar":
+        kernel = functools.partial(
+            _plan_kernel_scalar, outputs=outputs, n_limbs=l, inv12=inv12,
+            p12=p12, p16=tuple(int(x) for x in p_limbs), l12=l12,
+        )
+        out = pl.pallas_call(kernel, in_specs=[op_spec], **common)(ops_stack)
+    else:
+        kernel = functools.partial(
+            _plan_kernel, outputs=outputs, n_limbs=l, inv12=inv12, l12=l12,
+        )
+        p16c = jnp.asarray(np.asarray(p_limbs, np.uint32).reshape(-1, 1))
+        p12c = jnp.asarray(np.asarray(p12, np.uint32).reshape(-1, 1))
+        col = lambda rows: pl.BlockSpec(  # noqa: E731 - block-constant col
+            (rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel, in_specs=[op_spec, col(l), col(l12)], **common
+        )(ops_stack, p16c, p12c)
     return out[:, :, :b] if pad else out
 
 
@@ -743,9 +844,11 @@ def enabled() -> bool:
     return config.get().plan_kernels and limbs._use_pallas()
 
 
-def run_plan(outputs, components, *, interpret=False):
+def run_plan(outputs, components, *, interpret=False, variant="vector"):
     """components: list of [L, *batch] Fp tensors (the plan's input rows, in
-    index order).  Returns a list of [L, *batch] output tensors."""
+    index order).  Returns a list of [L, *batch] output tensors.  variant:
+    see plan_exec_pallas ("scalar" for the small runtime-hot group-law
+    plans, "vector" for the big trace-hot fp12/pairing plans)."""
     from .. import limbs
     from .. import config
 
@@ -762,6 +865,7 @@ def run_plan(outputs, components, *, interpret=False):
         p_limbs=tuple(int(x) for x in spec.p_limbs),
         block_b=min(config.get().block_b, 512),
         interpret=interpret,
+        variant=variant,
     )
     return [
         out[i].reshape((spec.n_limbs,) + batch) for i in range(len(outputs))

@@ -346,6 +346,7 @@ def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
             n_limbs=L,
             inv16=spec.inv16,
             p_limbs=tuple(int(x) for x in spec.p_limbs),
+            version=_kernel_version(),
         )
         return out.reshape((L,) + batch)
     return mont_mul(spec, a, a)
@@ -381,6 +382,19 @@ def _use_pallas() -> bool:
     return plat in ("tpu", "axon")
 
 
+def _kernel_version() -> int:
+    """sop/sqr kernel version from config.plan_variant: 3 = per-limb
+    registers (default; ~2x ALU throughput), 4 = vectorized limbvec —
+    scoped on by trace-bound graphs (MSM bucket scans instantiate field
+    ops at ~log B distinct shapes; see ops/msm.msm_g1)."""
+    try:
+        from . import config
+
+        return 4 if config.get().plan_variant == "vector" else 3
+    except Exception:  # pragma: no cover - config import cycles
+        return 3
+
+
 def _sop_via_pallas(spec: FieldSpec, pairs) -> jnp.ndarray:
     from .kernels import pallas_mont  # local import: optional dependency path
 
@@ -396,6 +410,7 @@ def _sop_via_pallas(spec: FieldSpec, pairs) -> jnp.ndarray:
         n_limbs=L,
         inv16=spec.inv16,
         p_limbs=tuple(int(x) for x in spec.p_limbs),
+        version=_kernel_version(),
     )
     return out.reshape(full)
 
@@ -465,6 +480,7 @@ def _sop_fold_planned(spec: FieldSpec, groups):
         inv16=spec.inv16,
         p_limbs=tuple(int(x) for x in spec.p_limbs),
         n_terms=t,
+        variant="vector" if _kernel_version() >= 4 else "scalar",
     )
     out = out.reshape((len(groups), L) + batch)
     return [out[i] for i in range(len(groups))]
@@ -768,21 +784,18 @@ def batch_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     zero_mask = is_zero(a)  # [*batch]
     safe = select(zero_mask, _bcast_full(spec.one_mont, a), a)
 
-    # scan axis must lead for associative_scan
-    def to_scan(x):
-        return jnp.moveaxis(x, -1, 0)
-
-    def from_scan(x):
-        return jnp.moveaxis(x, 0, -1)
+    # power-of-two scans (utils/scans.py): one combine instantiation per
+    # level, level shapes shared process-wide — associative_scan's odd/even
+    # recursion re-traced the Pallas mul kernel at ~2-3 distinct shapes per
+    # level and dominated graph tracing for scan-heavy callers (MSM)
+    from .utils import scans as _scans
 
     def combine(l, r):
-        return to_scan(mont_mul(spec, from_scan(l), from_scan(r)))
+        return mont_mul(spec, l, r)
 
-    s = to_scan(safe)
-    pre_incl = from_scan(jax.lax.associative_scan(combine, s, axis=0))
-    suf_incl = from_scan(
-        jax.lax.associative_scan(combine, s[::-1], axis=0)
-    )[..., ::-1]
+    one1 = _bcast_full(spec.one_mont, a[..., :1])
+    pre_incl = _scans.inclusive_scan(combine, safe, one1)
+    suf_incl = _scans.suffix_scan(combine, safe, one1)
     one_col = _bcast_full(spec.one_mont, a[..., :1])
     pre_excl = jnp.concatenate([one_col, pre_incl[..., :-1]], axis=-1)
     suf_excl = jnp.concatenate([suf_incl[..., 1:], one_col], axis=-1)

@@ -90,11 +90,14 @@ def _signed_digits(canon, c: int, bits: int):
 
 def _segmented_scan_add(curve, pts, heads):
     """Inclusive segmented scan with the group law along the last (lane)
-    axis.  All leaves stay limb-major [L, b] throughout — associative_scan
-    runs on axis=-1, so no per-level transposes (the round-2 version moved
-    every leaf to lane-major around every combine, which dominated HBM
-    traffic).  heads: bool [1, B], True where a new segment starts.
+    axis.  All leaves stay limb-major [L, b] throughout — the scan runs on
+    axis=-1, so no per-level transposes.  heads: bool [1, B], True where a
+    new segment starts.  Uses the power-of-two scan (utils/scans.py): one
+    group-add instantiation per level, shapes shared process-wide, instead
+    of associative_scan's ~2-3 distinct shapes per level (which re-traced
+    the Pallas group-law kernel for minutes per MSM graph).
     """
+    from ..utils import scans as _scans
 
     def combine(left, right):
         lp, lh = left
@@ -104,25 +107,9 @@ def _segmented_scan_add(curve, pts, heads):
         pt = jax.tree.map(lambda s, r: jnp.where(mask, r, s), summed, rp)
         return (pt, lh | rh)
 
-    out, _ = jax.lax.associative_scan(combine, (pts, heads), axis=-1)
+    ident1 = (curve.identity((1,)), jnp.zeros((1, 1), dtype=bool))
+    out, _ = _scans.inclusive_scan(combine, (pts, heads), ident1)
     return out
-
-
-def _tree_sum(curve, acc, n: int):
-    """Halving-tree sum of n points laid out on the last axis."""
-    while n > 1:
-        half = n // 2
-        lo = jax.tree.map(lambda x: x[..., :half], acc)
-        hi = jax.tree.map(lambda x: x[..., half: 2 * half], acc)
-        s = curve.add(lo, hi)
-        if n % 2:
-            tail = jax.tree.map(lambda x: x[..., -1:], acc)
-            s = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=-1), s, tail
-            )
-        acc = s
-        n = jax.tree.leaves(acc)[0].shape[-1]
-    return jax.tree.map(lambda x: x[..., 0], acc)
 
 
 def _window_sum(curve_mod, aff_xy, order, mags_s, negs_s, c: int):
@@ -165,14 +152,17 @@ def _window_sum(curve_mod, aff_xy, order, mags_s, negs_s, c: int):
     )
 
     # sum_{b=1..half} b * B_b = sum of the inclusive suffix sums
-    # B_half, B_half + B_{half-1}, ...  — log-depth scan + halving tree.
-    rev = jax.tree.map(lambda t: t[..., ::-1], buckets)
+    # B_half, B_half + B_{half-1}, ...  — log-depth scan + halving tree
+    # (both on power-of-two shapes, utils/scans.py).
+    from ..utils import scans as _scans
 
     def combine(l, r):
         return curve.add(l, r)
 
-    suffix = jax.lax.associative_scan(combine, rev, axis=-1)
-    return _tree_sum(curve_mod.CURVE, suffix, half)
+    ident1 = curve.identity((1,))
+    suffix = _scans.suffix_scan(combine, buckets, ident1)
+    total = _scans.tree_reduce(combine, suffix, ident1)
+    return jax.tree.map(lambda t: t[..., 0], total)
 
 
 def _msm_pipeline(curve_mod, aff_xy, mags, negs, c: int):
@@ -212,11 +202,17 @@ def _to_affine_xy(curve_mod, points_proj, inv_fn):
 
 def msm_g1(points_proj, scalars_mont, c: int | None = None, glv: bool = True):
     """Entry point; c defaults to config.msm_window (see _msm_g1_jit)."""
-    if c is None:
-        from .. import config
+    from .. import config
 
+    if c is None:
         c = config.get().msm_window
-    return _msm_g1_jit(points_proj, scalars_mont, c, glv)
+    # vector plan evaluator: the bucket scans instantiate the group law at
+    # ~log(B) + log(2^c) distinct shapes; the scalar evaluator's per-shape
+    # trace cost (~10 s) would put CLIENT-SIDE TRACING at many minutes per
+    # MSM graph (measured 530 s at B=2^16) — the vector one traces ~10x
+    # faster at a ~2x ALU cost confined to this graph
+    with config.scope(plan_variant="vector"):
+        return _msm_g1_jit(points_proj, scalars_mont, c, glv)
 
 
 @functools.partial(jax.jit, static_argnames=("c", "glv"))
@@ -282,11 +278,12 @@ def msm_g1_large(points_proj, scalars_mont, c: int | None = None,
 
 
 def msm_g2(points_proj, scalars_mont, c: int | None = None, gls: bool = True):
-    if c is None:
-        from .. import config
+    from .. import config
 
+    if c is None:
         c = config.get().msm_window
-    return _msm_g2_jit(points_proj, scalars_mont, c, gls)
+    with config.scope(plan_variant="vector"):  # see msm_g1
+        return _msm_g2_jit(points_proj, scalars_mont, c, gls)
 
 
 @functools.partial(jax.jit, static_argnames=("c", "gls"))

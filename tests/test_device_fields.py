@@ -423,6 +423,8 @@ def test_pallas_sop_kernel_fr_v2_interpret():
         p_limbs=tuple(int(x) for x in lb.FR.p_limbs),
         block_b=32,
         interpret=True,
+        version=5,  # vectorized 16-bit variant (fast-tier interpret route;
+        # the per-limb production kernel is covered by the on-device suite)
     )
     assert [int(v) for v in fr.to_ints(got)] == [int(v) for v in ref]
 
@@ -511,6 +513,7 @@ def test_pallas_fold_planned_interpret():
         n_terms=t,
         block_b=32,
         interpret=True,
+        variant="vector",  # fast-tier interpret route
     )
     for gi in range(4):
         got = [int(v) for v in fp.to_ints(out[gi])]
@@ -534,6 +537,7 @@ def test_pallas_butterfly_interpret():
         p_limbs=tuple(int(x) for x in lb.FR.p_limbs),
         block_b=32,
         interpret=True,
+        variant="vector",  # fast-tier interpret route
     )
     lo = [int(v) for v in frm.to_ints(out[0])]
     hi = [int(v) for v in frm.to_ints(out[1])]
