@@ -46,7 +46,9 @@ import sys
 import time
 
 _T0 = time.monotonic()
-DEADLINE_S = float(os.environ.get("BLS12_381_TPU_BENCH_DEADLINE", "600"))
+# default sized to the fully-warm full-row run (~750 s incl. one 133 s
+# 2^24 MSM execution); the watchdog emits the artifact at deadline + 60 s
+DEADLINE_S = float(os.environ.get("BLS12_381_TPU_BENCH_DEADLINE", "1100"))
 
 # Persistent compile cache: bench runs in a fresh process (no conftest).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -535,30 +537,9 @@ def bench_msm():
     # shapes warm cumulatively (the 2^20/2^24 graphs re-trace only their
     # few new top-level shapes).  reserve= keeps a margin for the run
     # itself so a timeout still exits via atexit.
-    for log_b, c, reserve in ((16, 12, 0), (20, 13, 20), (24, 13, 60)):
-        key = f"msm_g1_2^{log_b}"
-        if over_deadline(key, reserve=reserve):
-            continue
-        try:
-            B = 1 << log_b
-            ks = _rand_fr(3 + log_b, B)
-
-            # msm_g1_large chunks >2^22 with a PYTHON loop of jitted calls —
-            # must not be re-wrapped in an outer jit (that would fuse all
-            # chunks into one graph and reinstate the memory peak)
-            def fn(p, k, c=c):
-                out = msm_mod.msm_g1_large(p, k, c=c)
-                return jax.tree.map(lambda v: v.reshape(-1)[:8], out)
-
-            t = _time_fetch(fn, G1.generator((B,)), ks,
-                            reps=2 if log_b < 24 else 1, key=key)
-            emit(f"msm_g1_2^{log_b}_s", round(t, 3))
-            emit(f"msm_g1_2^{log_b}_pts/s", round(B / t))
-        except Exception as e:
-            emit(f"{key}_error", type(e).__name__)
-            log(f"msm 2^{log_b} failed: {e}")
-
-    if not over_deadline("msm_g2"):
+    def g2_row():
+        if over_deadline("msm_g2"):
+            return
         try:
             B = 1 << 14
             ks = _rand_fr(31, B)
@@ -568,6 +549,51 @@ def bench_msm():
         except Exception as e:
             emit("msm_g2_2^14_error", type(e).__name__)
             log(f"msm_g2 2^14 failed: {e}")
+
+    for log_b, c, reserve in ((16, 12, 0), (20, 13, 20), (24, 13, 60)):
+        if log_b == 24:
+            # G2 row before the riskiest/most expensive row (a 2^24 failure
+            # must not take the G2 row down with it)
+            g2_row()
+        key = f"msm_g1_2^{log_b}"
+        if over_deadline(key, reserve=reserve):
+            continue
+        pts = ks = None
+        try:
+            B = 1 << log_b
+            ks = _rand_fr(3 + log_b, B)
+            pts = G1.generator((B,))
+
+            # msm_g1_large chunks big batches with a PYTHON loop of jitted
+            # calls — must not be re-wrapped in an outer jit (that would
+            # fuse all chunks into one graph and reinstate the memory peak)
+            def fn(p, k, c=c):
+                out = msm_mod.msm_g1_large(p, k, c=c)
+                return jax.tree.map(lambda v: v.reshape(-1)[:8], out)
+
+            if log_b == 24:
+                # one execution is ~133 s: time the first call (warm cache
+                # => pure execute) so a row lands even if the budget stops
+                # here, then refine with one clean rep if budget remains
+                t0 = time.perf_counter()
+                jax.device_get(fn(pts, ks))
+                t = time.perf_counter() - t0
+                emit(f"msm_g1_2^{log_b}_first_call_s", round(t, 3))
+                if not over_deadline(f"{key}_rep", reserve=int(t) + 10):
+                    t0 = time.perf_counter()
+                    jax.device_get(fn(pts, ks))
+                    t = time.perf_counter() - t0
+            else:
+                t = _time_fetch(fn, pts, ks, reps=2, key=key)
+            emit(f"msm_g1_2^{log_b}_s", round(t, 3))
+            emit(f"msm_g1_2^{log_b}_pts/s", round(B / t))
+        except Exception as e:
+            emit(f"{key}_error", type(e).__name__)
+            log(f"msm 2^{log_b} failed: {e}")
+        finally:
+            # the 2^24 inputs alone hold ~5 GB of HBM; free them before the
+            # next row so a failure does not cascade
+            del pts, ks
 
 
 def bench_scaling():

@@ -254,12 +254,14 @@ def _msm_g1_jit(points_proj, scalars_mont, c: int, glv: bool):
 
 
 def msm_g1_large(points_proj, scalars_mont, c: int | None = None,
-                 glv: bool = True, chunk_log2: int = 22):
+                 glv: bool = True, chunk_log2: int = 21):
     """MSM for batches too large for one pipeline's scan working set.
 
-    The segmented scan materializes ~2x the gathered window (HBM peak
-    ~300 B/lane with GLV), so >= 2^23 lanes overflow a 16 GB chip.  Chunks
-    of 2^chunk_log2 run the normal pipeline (one compile, reused across
+    The segmented scan materializes several copies of the gathered window
+    (the power-of-two scan keeps ~6 level intermediates live), so >= 2^23
+    GLV lanes (2^22 input points) overflow a 16 GB chip — measured
+    RESOURCE_EXHAUSTED at chunk 2^22, clean at 2^21.  Chunks of
+    2^chunk_log2 run the normal pipeline (one compile, reused across
     chunks) and fold with single group additions — the extra cost is one
     bucket-reduction + recombination per chunk, amortized to noise at this
     size."""
